@@ -1,0 +1,200 @@
+"""Index-build job: polygons -> dual-cover cell index + features table.
+
+Spark-first analog of the reference indexer pipeline
+(cmd/indexer/main.go:73-174 + storage/bbolt/storage.go:319-538): instead
+of writing bbolt KV postings 'I'/'O' per cover cell, we emit a flat
+exploded `cell_index` DataFrame
+
+    (cell_id: long, is_interior: boolean, feature_id: int, loop_pos: int)
+
+and a `features` DataFrame
+
+    (feature_id, loop_pos, ring: array<array<double>>,
+     properties: map<string,string>, admin_level: double)
+
+plus a manifest (the reference's IndexInfos, storage.go:43-49) carrying
+`min_cover_level` = min of both coverers' MinLevel
+(storage/bbolt/storage.go:509-513), which drives the query-side
+ancestor explode. The cover computation runs distributed in
+`mapInPandas` — one task per polygon batch — so a planet-scale polygon
+layer builds in parallel; at query time the (small) cell index is
+broadcast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..geo import cover as geo_cover
+from ..geo import s2 as geo_s2
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("feature_id", IntegerType(), False),
+        StructField("loop_pos", IntegerType(), False),
+        StructField("ring", ArrayType(ArrayType(DoubleType())), False),
+        StructField("properties", MapType(StringType(), StringType()), True),
+        StructField("admin_level", DoubleType(), True),
+    ]
+)
+
+CELL_INDEX_SCHEMA = StructType(
+    [
+        StructField("cell_id", LongType(), False),
+        StructField("is_interior", BooleanType(), False),
+        StructField("feature_id", IntegerType(), False),
+        StructField("loop_pos", IntegerType(), False),
+    ]
+)
+
+# reference cmd/indexer/main.go:67 default (tests use 100, FIXTURES.md §3)
+DEFAULT_WARNING_CELLS_COVER = 1000
+
+
+@dataclass
+class IndexBundle:
+    """In-memory handle on a built index: the two DataFrames + manifest."""
+
+    features: DataFrame
+    cell_index: DataFrame
+    manifest: dict = field(default_factory=dict)
+
+
+def features_df(spark: SparkSession, loop_rows) -> DataFrame:
+    """Loop rows (from geo.geojson.parse_feature_collection) -> features DataFrame."""
+    rows = [
+        (
+            int(r["feature_id"]),
+            int(r["loop_pos"]),
+            [[float(c[0]), float(c[1])] for c in r["ring"]],
+            r.get("properties") or {},
+            r.get("admin_level"),
+        )
+        for r in loop_rows
+    ]
+    return spark.createDataFrame(rows, FEATURES_SCHEMA)
+
+
+def build_cell_index(
+    features: DataFrame,
+    interior_params: geo_cover.CoverParams = geo_cover.CoverParams(*geo_cover.DEFAULT_INTERIOR),
+    exterior_params: geo_cover.CoverParams = geo_cover.CoverParams(*geo_cover.DEFAULT_EXTERIOR),
+    warning_cells_cover: int = DEFAULT_WARNING_CELLS_COVER,
+) -> DataFrame:
+    """Distributed dual-cover build (reference storage/bbolt/storage.go:
+    319-448 'I'/'O' postings, re-expressed as mapInPandas -> explode)."""
+    ip, ep, guard = interior_params, exterior_params, warning_cells_cover
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"cell_id": [], "is_interior": [], "feature_id": [], "loop_pos": []}
+            for fid, pos, ring in zip(pdf["feature_id"], pdf["loop_pos"], pdf["ring"]):
+                ring = np.asarray([[v[0], v[1]] for v in ring], dtype=np.float64)
+                if len(ring) < 4:  # loop-validity filter (reference tools.go:122-124)
+                    continue
+                inside_cells, outside_cells = geo_cover.dual_cover(ring, ip, ep)
+                # cover-size guard (reference storage/bbolt/storage.go:363-370)
+                if len(outside_cells) > guard or len(inside_cells) > guard:
+                    continue
+                for c in inside_cells:
+                    out["cell_id"].append(int(geo_s2.to_signed(np.array([c]))[0]))
+                    out["is_interior"].append(True)
+                    out["feature_id"].append(int(fid))
+                    out["loop_pos"].append(int(pos))
+                for c in outside_cells:
+                    out["cell_id"].append(int(geo_s2.to_signed(np.array([c]))[0]))
+                    out["is_interior"].append(False)
+                    out["feature_id"].append(int(fid))
+                    out["loop_pos"].append(int(pos))
+            yield pd.DataFrame(out)
+
+    return features.select("feature_id", "loop_pos", "ring").mapInPandas(
+        compute, schema=CELL_INDEX_SCHEMA
+    )
+
+
+def make_manifest(
+    feature_count: int,
+    interior_params: geo_cover.CoverParams,
+    exterior_params: geo_cover.CoverParams,
+) -> dict:
+    """Reference IndexInfos analog (storage/bbolt/storage.go:505-538)."""
+    return {
+        "version": 1,
+        "feature_count": int(feature_count),
+        # min of both coverers' MinLevel — storage/bbolt/storage.go:509-513
+        "min_cover_level": min(interior_params.min_level, exterior_params.min_level),
+        "max_cover_level": max(interior_params.max_level, exterior_params.max_level),
+        "interior_params": list(
+            (interior_params.min_level, interior_params.max_level, interior_params.max_cells)
+        ),
+        "exterior_params": list(
+            (exterior_params.min_level, exterior_params.max_level, exterior_params.max_cells)
+        ),
+    }
+
+
+def build_index(
+    spark: SparkSession,
+    loop_rows,
+    interior_params: geo_cover.CoverParams = geo_cover.CoverParams(*geo_cover.DEFAULT_INTERIOR),
+    exterior_params: geo_cover.CoverParams = geo_cover.CoverParams(*geo_cover.DEFAULT_EXTERIOR),
+    warning_cells_cover: int = DEFAULT_WARNING_CELLS_COVER,
+) -> IndexBundle:
+    """End-to-end build from parsed loop rows. The cell index is computed
+    once and cached — it is the broadcast side of every stab join."""
+    feats = features_df(spark, loop_rows)
+    # polygon layers are small relative to the points side; spread the
+    # cover computation (the expensive part) across the cluster
+    n = feats.count()
+    parallelism = max(1, min(n, spark.sparkContext.defaultParallelism))
+    feats = feats.repartition(parallelism)
+    cells = build_cell_index(feats, interior_params, exterior_params, warning_cells_cover)
+    cells = cells.cache()
+    cells.count()  # materialize once; avoids recomputing covers per query
+    return IndexBundle(
+        features=feats,
+        cell_index=cells,
+        manifest=make_manifest(n, interior_params, exterior_params),
+    )
+
+
+def save_index(bundle: IndexBundle, path: str) -> None:
+    """Persist as parquet + manifest JSON (the bbolt file analog).
+    `cell_index` is written sorted by cell_id so parquet row-group
+    min/max stats allow cell-range pruning on read."""
+    bundle.features.write.mode("overwrite").parquet(os.path.join(path, "features"))
+    bundle.cell_index.sort("cell_id").write.mode("overwrite").parquet(
+        os.path.join(path, "cell_index")
+    )
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(bundle.manifest, f, indent=2)
+
+
+def load_index(spark: SparkSession, path: str) -> IndexBundle:
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    return IndexBundle(
+        features=spark.read.parquet(os.path.join(path, "features")),
+        cell_index=spark.read.parquet(os.path.join(path, "cell_index")),
+        manifest=manifest,
+    )

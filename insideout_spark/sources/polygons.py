@@ -1,0 +1,131 @@
+"""Polygon sources: GeoJSON files and deterministic synthetic layers.
+
+The reference ingests a GeoJSON FeatureCollection (cmd/indexer/
+main.go:88-140). We add a deterministic synthetic "countries" layer (a
+rectangular grid, FIXTURES.md §2) as the scale fixture — the reference
+ne_110m layer is demo-only and never asserted.
+"""
+
+from __future__ import annotations
+
+import json
+
+from ..geo import geojson as geo_geojson
+
+
+def load_geojson_loops(path: str):
+    """Parse a GeoJSON file (optionally gzipped) into loop rows."""
+    with open(path, "rb") as f:
+        return geo_geojson.parse_feature_collection(f.read())
+
+
+def synth_countries_loops(n: int = 177):
+    """Deterministic grid of n rectangular 'country' polygons over
+    mid-latitudes. Rectangles in lng/lat with a gap between neighbors so
+    membership is unambiguous; admin_level cycles 2..8 to exercise the
+    result ordering (reference server/server.go:287-294)."""
+    rows = []
+    cols = 20
+    for fid in range(n):
+        r, c = divmod(fid, cols)
+        lng0 = -178.0 + c * 17.8
+        lat0 = -58.0 + r * 12.4
+        lng1 = lng0 + 16.0
+        lat1 = lat0 + 10.9
+        ring = [
+            [lng0, lat0],
+            [lng1, lat0],
+            [lng1, lat1],
+            [lng0, lat1],
+            [lng0, lat0],
+        ]
+        rows.append(
+            {
+                "feature_id": fid,
+                "loop_pos": 0,
+                "ring": ring,
+                "properties": {"name": f"country-{fid:03d}", "admin_level": str(2 + fid % 7)},
+                "admin_level": float(2 + fid % 7),
+            }
+        )
+    return rows
+
+
+def france_rects_loops(n: int = 16):
+    """Deterministic rectangles tiling the reference loadtester's France
+    bbox (cmd/loadtester/main.go:33-38) with half-cell offsets so no
+    synthetic point ever lands exactly on an edge (FIXTURES.md §6).
+    Overlapping 'admin levels': one big rect (level 2) + a 4x4 grid
+    (level 6) — every grid hit is also a big-rect hit, exercising
+    multi-feature results and ordering."""
+    lat0, lat1, lng0, lng1 = 46.63, 49.10, -1.10, 5.5
+    rows = [
+        {
+            "feature_id": 0,
+            "loop_pos": 0,
+            "ring": [
+                [lng0 - 0.01, lat0 - 0.01],
+                [lng1 + 0.01, lat0 - 0.01],
+                [lng1 + 0.01, lat1 + 0.01],
+                [lng0 - 0.01, lat1 + 0.01],
+                [lng0 - 0.01, lat0 - 0.01],
+            ],
+            "properties": {"name": "bbox", "admin_level": "2"},
+            "admin_level": 2.0,
+        }
+    ]
+    side = 4
+    dlat = (lat1 - lat0) / side
+    dlng = (lng1 - lng0) / side
+    fid = 1
+    for r in range(side):
+        for c in range(side):
+            if fid > n:
+                break
+            a0 = lat0 + r * dlat + 0.0137
+            a1 = lat0 + (r + 1) * dlat - 0.0137
+            o0 = lng0 + c * dlng + 0.0159
+            o1 = lng0 + (c + 1) * dlng - 0.0159
+            rows.append(
+                {
+                    "feature_id": fid,
+                    "loop_pos": 0,
+                    "ring": [[o0, a0], [o1, a0], [o1, a1], [o0, a1], [o0, a0]],
+                    "properties": {"name": f"dept-{fid:02d}", "admin_level": "6"},
+                    "admin_level": 6.0,
+                }
+            )
+            fid += 1
+    return rows
+
+
+def rects_sql_predicates(loop_rows):
+    """For rectangle fixtures: list of (feature_id, loop_pos, lng0, lng1,
+    lat0, lat1) — lets the DuckDB oracle express PIP as ANSI range
+    predicates (FIXTURES.md §6)."""
+    out = []
+    for r in loop_rows:
+        ring = r["ring"]
+        lngs = [v[0] for v in ring]
+        lats = [v[1] for v in ring]
+        out.append(
+            (
+                r["feature_id"],
+                r["loop_pos"],
+                min(lngs),
+                max(lngs),
+                min(lats),
+                max(lats),
+            )
+        )
+    return out
+
+
+def dump_geojson(loop_rows) -> str:
+    """loop rows -> GeoJSON FeatureCollection string (inverse transform,
+    reference tools.go:156-170)."""
+    feats = [
+        geo_geojson.ring_to_geojson_feature(r["ring"], r.get("properties"))
+        for r in loop_rows
+    ]
+    return json.dumps({"type": "FeatureCollection", "features": feats})
