@@ -112,14 +112,16 @@ def normalize_cells(cells):
     arr = np.unique(np.array(cells, dtype=np.uint64))
     rmin = s2.range_min(arr)
     rmax = s2.range_max(arr)
+    # ranges are nested or disjoint: sweep by (range_min asc, coarser first)
+    order = np.lexsort((s2.level(arr), rmin))
     keep = []
     cur_max = None
-    for k in range(len(arr)):
+    for k in order:
         if cur_max is not None and rmax[k] <= cur_max:
-            continue  # contained in previously kept cell
+            continue  # contained in a previously kept cell
         keep.append(arr[k])
         cur_max = rmax[k]
-    return [np.uint64(c) for c in keep]
+    return [np.uint64(c) for c in sorted(keep)]
 
 
 def _coarsen_covering(cells, min_level, max_cells):

@@ -110,7 +110,7 @@ def cell_to_boundary(cell: int):
     """Closed 5-point ring [[lng,lat],...] (first == last), CCW,
     mirroring the reference's cell->GeoJSON raster->vector primitive
     (server/debug/web.go:47-77)."""
-    lng0, lat0, lng1, lat1 = (float(a) for a in cell_bounds(np.array([cell])))
+    lng0, lat0, lng1, lat1 = (float(a[0]) for a in cell_bounds(np.array([cell])))
     return [[lng0, lat0], [lng1, lat0], [lng1, lat1], [lng0, lat1], [lng0, lat0]]
 
 

@@ -1,0 +1,111 @@
+"""End-to-end stab join on Spark: golden cases, oracle equivalence of
+both physical paths, projections, top-1, and index persistence."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from insideout_spark.geo import pip as geo_pip
+from insideout_spark.plans.index_build import load_index, save_index
+from insideout_spark.plans.pip_join import pip_join
+from insideout_spark.sources import pages as src_pages
+
+
+@pytest.fixture(scope="module")
+def golden_points_df(spark):
+    pg = src_pages.synth_pages(spark, 400, partitions=4)
+    return src_pages.extract_points(pg).cache()
+
+
+def _hits_by_golden_row(rows):
+    out = {}
+    for r in rows:
+        i = int(r["url"].rsplit("/", 1)[1])
+        if i < 6:
+            out.setdefault(i, set()).add(
+                (r["feature_id"], r["loop_pos"], bool(r["is_sure_hit"]))
+            )
+    return out
+
+
+def test_golden_e2e(spark, houat_index, golden_points_df):
+    """FIXTURES.md §4: rows 0,1,4 inside (0,1); row 1 via interior cover;
+    rows 2,3,5 produce nothing."""
+    res = pip_join(golden_points_df, houat_index)
+    by = _hits_by_golden_row(res.collect())
+    assert by.get(0) == {(0, 1, False)}
+    assert by.get(1) == {(0, 1, True)}
+    assert by.get(4) == {(0, 1, False)}
+    assert 2 not in by and 3 not in by and 5 not in by
+
+
+def test_matches_exact_oracle(spark, houat_index, houat_loops, golden_points_df):
+    """Full result set == brute-force exact PIP oracle (the reference
+    shapeindex strategy J3, our correctness oracle)."""
+    res = {
+        (r["url"], r["feature_id"], r["loop_pos"])
+        for r in pip_join(golden_points_df, houat_index).collect()
+    }
+    pts = golden_points_df.collect()
+    oracle = set()
+    for p in pts:
+        for lr in houat_loops:
+            if geo_pip.ring_contains_point(np.array(lr["ring"]), p["lng"], p["lat"]):
+                oracle.add((p["url"], lr["feature_id"], lr["loop_pos"]))
+    assert res == oracle
+
+
+def test_salted_shuffle_path_equivalent(spark, houat_index, golden_points_df):
+    """broadcast path and salted shuffle path return identical rows."""
+    a = {
+        (r["url"], r["feature_id"], r["loop_pos"], r["is_sure_hit"])
+        for r in pip_join(golden_points_df, houat_index).collect()
+    }
+    b = {
+        (r["url"], r["feature_id"], r["loop_pos"], r["is_sure_hit"])
+        for r in pip_join(
+            golden_points_df, houat_index, broadcast_index=False, salt_buckets=4
+        ).collect()
+    }
+    assert a == b
+
+
+def test_properties_and_projection(spark, houat_index, golden_points_df):
+    res = pip_join(golden_points_df, houat_index).filter(
+        F.col("url") == "https://example.org/00000001"
+    )
+    row = res.collect()[0]
+    assert row["properties"]["nom"] == "Île-d'Houat"
+    assert row["properties"]["insee"] == "56086"
+    # P1 projection: drop payload
+    lean = pip_join(golden_points_df, houat_index, include_properties=False)
+    assert "properties" not in lean.columns
+
+
+def test_stop_on_first(spark, houat_index, golden_points_df):
+    res = pip_join(golden_points_df, houat_index, stop_on_first=True)
+    counts = res.groupBy("url").count().collect()
+    assert all(r["count"] == 1 for r in counts)
+
+
+def test_index_save_load_roundtrip(spark, houat_index, golden_points_df, tmp_path):
+    path = str(tmp_path / "idx")
+    save_index(houat_index, path)
+    idx2 = load_index(spark, path)
+    assert idx2.manifest["min_cover_level"] == 10
+    a = {
+        (r["url"], r["feature_id"], r["loop_pos"])
+        for r in pip_join(golden_points_df, houat_index).collect()
+    }
+    b = {
+        (r["url"], r["feature_id"], r["loop_pos"])
+        for r in pip_join(golden_points_df, idx2).collect()
+    }
+    assert a == b
+
+
+def test_broadcast_join_in_plan(spark, houat_index, golden_points_df):
+    """The stab join must be a broadcast hash join with no shuffle on the
+    probe side before the join (scale contract, SURVEY.md §4)."""
+    plan = pip_join(golden_points_df, houat_index)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
