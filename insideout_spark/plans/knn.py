@@ -1,0 +1,172 @@
+"""kNN join via grid cell-ring expansion (north-rule operator; no
+reference equivalent — SURVEY.md §2.3 'kNN join').
+
+Distance metric: squared Euclidean in (lat,lng) degree space — chosen
+because it is exactly reproducible in the DuckDB oracle (identical
+IEEE multiply/add order), so the driver's value-hash comparison is
+bit-exact. Ties break on target_id.
+
+Two physical strategies:
+
+* `knn_brute` — broadcast the target coordinate matrix, vectorized
+  numpy top-k per Arrow batch. No shuffle at all; right answer whenever
+  targets fit in a broadcast (<~10^6). This is also the oracle path.
+* `knn_cell_join` — the scale path: iterative ring expansion. Round r
+  joins still-active points against targets exploded to their ring-r
+  grid cells (all Catalyst arithmetic); a point finishes when it holds
+  >= k candidates within the ring-r distance guarantee
+  (cells outside Chebyshev disk r are >= r*min(cell_w,cell_h) away).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.udfs import grid_cell_expr
+from ..geo import grid as geo_grid
+
+
+def _dist_sq(plat, plng, tlat, tlng):
+    dlat = plat - tlat
+    dlng = plng - tlng
+    return dlat * dlat + dlng * dlng
+
+
+def knn_brute(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int,
+    id_col: str = "point_id",
+    target_id_col: str = "target_id",
+) -> DataFrame:
+    """Vectorized brute-force kNN with a broadcast target matrix."""
+    import numpy as np
+
+    spark = points.sparkSession
+    t = targets.select(target_id_col, "lat", "lng").collect()
+    tid = np.array([r[target_id_col] for r in t], dtype=np.int64)
+    tlat = np.array([r["lat"] for r in t], dtype=np.float64)
+    tlng = np.array([r["lng"] for r in t], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((tid, tlat, tlng))
+    kk = int(k)
+
+    def run(batches):
+        import pandas as pd
+
+        tid, tlat, tlng = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            plat = pdf["lat"].to_numpy()
+            plng = pdf["lng"].to_numpy()
+            dlat = plat[:, None] - tlat[None, :]
+            dlng = plng[:, None] - tlng[None, :]
+            d = dlat * dlat + dlng * dlng
+            kcl = min(kk, d.shape[1])
+            # top-k with (dist, target_id) tiebreak
+            order = np.lexsort((np.broadcast_to(tid, d.shape), d), axis=1)[:, :kcl]
+            rows = {
+                id_col: np.repeat(pdf[id_col].to_numpy(), kcl),
+                target_id_col: tid[order].ravel(),
+                "dist_sq": np.take_along_axis(d, order, axis=1).ravel(),
+                "rank": np.tile(np.arange(1, kcl + 1), len(pdf)),
+            }
+            yield pd.DataFrame(rows)
+
+    schema = (
+        f"{id_col} long, {target_id_col} long, dist_sq double, rank int"
+    )
+    return points.select(id_col, "lat", "lng").mapInPandas(run, schema=schema)
+
+
+def _explode_ring_cells(targets: DataFrame, res: int, r: int, target_id_col: str) -> DataFrame:
+    """Targets -> one row per ring-r grid cell around each target's cell.
+    Offsets are a literal array (JVM explode); cell recombination is
+    pure arithmetic with lng wrap and lat clamp."""
+    n = 1 << res
+    if r == 0:
+        offs = [(0, 0)]
+    else:
+        offs = [
+            (dx, dy)
+            for dx in range(-r, r + 1)
+            for dy in range(-r, r + 1)
+            if max(abs(dx), abs(dy)) == r
+        ]
+    t = targets.withColumn("__cell", grid_cell_expr("lat", "lng", res))
+    rem = F.col("__cell") % geo_grid.RES_MULT
+    t = t.withColumn("__x", (rem / geo_grid.X_MULT).cast("long")).withColumn(
+        "__y", rem % geo_grid.X_MULT
+    )
+    t = t.withColumn(
+        "__off", F.explode(F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs]))
+    )
+    yy = F.col("__y") + F.col("__off.dy")
+    xx = ((F.col("__x") + F.col("__off.dx")) % n + n) % n
+    t = t.filter((yy >= 0) & (yy < n))
+    cell = F.lit(res).cast("long") * F.lit(geo_grid.RES_MULT) + xx * F.lit(geo_grid.X_MULT) + yy
+    return t.select(
+        cell.alias("cell_id"),
+        F.col(target_id_col),
+        F.col("lat").alias("t_lat"),
+        F.col("lng").alias("t_lng"),
+    )
+
+
+def knn_cell_join(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int,
+    res: int = 5,
+    id_col: str = "point_id",
+    target_id_col: str = "target_id",
+    max_rings: int | None = None,
+) -> DataFrame:
+    """Exact kNN via iterative cell-ring expansion; returns
+    (id, target_id, dist_sq, rank) identical to `knn_brute`."""
+    n = 1 << res
+    guarantee_step = min(geo_grid.cell_width(res), geo_grid.cell_height(res))
+    max_rings = max_rings if max_rings is not None else n  # full sweep worst case
+
+    pts = points.select(id_col, "lat", "lng").withColumn(
+        "cell_id", grid_cell_expr("lat", "lng", res)
+    )
+    active = pts
+    acc = None
+    r = 0
+    while r <= max_rings:
+        ring_cells = _explode_ring_cells(targets, res, r, target_id_col)
+        cand = active.join(F.broadcast(ring_cells), "cell_id", "inner").select(
+            id_col,
+            "lat",
+            "lng",
+            "cell_id",
+            target_id_col,
+            _dist_sq(F.col("lat"), F.col("lng"), F.col("t_lat"), F.col("t_lng")).alias(
+                "dist_sq"
+            ),
+        )
+        acc = cand if acc is None else acc.unionByName(cand)
+        acc = acc.localCheckpoint(eager=True)  # cut the iterative lineage
+
+        # a point is done when its k-th best distance beats the guarantee
+        g = r * guarantee_step
+        w = Window.partitionBy(id_col).orderBy("dist_sq", target_id_col)
+        ranked = acc.withColumn("rank", F.row_number().over(w))
+        kth = (
+            ranked.filter(F.col("rank") == k)
+            .filter(F.col("dist_sq") <= F.lit(g * g))
+            .select(id_col)
+        )
+        active = active.join(kth, id_col, "left_anti")
+        r += 1
+        if active.isEmpty():
+            break
+
+    w = Window.partitionBy(id_col).orderBy("dist_sq", target_id_col)
+    return (
+        acc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, target_id_col, "dist_sq", "rank")
+    )

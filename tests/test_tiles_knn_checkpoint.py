@@ -1,0 +1,148 @@
+"""Tile assignment goldens, kNN (both strategies vs brute oracle), and
+checkpoint/resume semantics."""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from insideout_spark.geo import grid as geo_grid
+from insideout_spark.geo import s2 as geo_s2
+from insideout_spark.plans import checkpoint as ckpt
+from insideout_spark.plans.knn import knn_brute, knn_cell_join
+from insideout_spark.plans.tiles import assign_tiles, grid_cell_bounds_cols, s2_cell_geojson
+
+
+@pytest.fixture(scope="module")
+def points_df(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame(
+        {
+            "point_id": np.arange(3000, dtype=np.int64),
+            "lat": rng.uniform(44.0, 50.0, 3000),
+            "lng": rng.uniform(-3.0, 6.0, 3000),
+        }
+    )
+    return spark.createDataFrame(pdf).cache(), pdf
+
+
+def test_assign_tiles_matches_kernel(spark, points_df):
+    df, pdf = points_df
+    out = assign_tiles(df, s2_level=10, grid_res=7, with_token=True)
+    rows = {r["point_id"]: r for r in out.collect()}
+    leaf = geo_s2.latlng_to_cell(pdf["lat"].to_numpy(), pdf["lng"].to_numpy())
+    want_s2 = geo_s2.to_signed(geo_s2.parent(leaf, 10))
+    want_grid = geo_grid.latlng_to_cell(pdf["lat"].to_numpy(), pdf["lng"].to_numpy(), 7)
+    for k, pid in enumerate(pdf["point_id"]):
+        r = rows[pid]
+        assert r["s2_cell_l10"] == want_s2[k]
+        assert r["grid_cell_r7"] == want_grid[k]
+        assert r["s2_token"] == geo_s2.token(geo_s2.to_unsigned(np.int64(want_s2[k])))
+
+
+def test_s2_cell_geojson(spark, points_df):
+    df, _ = points_df
+    out = (
+        assign_tiles(df.limit(5), s2_level=10)
+        .withColumn("gj", s2_cell_geojson(F.col("s2_cell_l10")))
+        .collect()
+    )
+    for r in out:
+        feat = json.loads(r["gj"])
+        ring = feat["geometry"]["coordinates"][0]
+        assert len(ring) == 5 and ring[0] == ring[-1]  # closed 5-point ring
+        tok = feat["properties"]["token"]
+        assert geo_s2.token_to_cell(tok) == geo_s2.to_unsigned(np.int64(r["s2_cell_l10"]))
+
+
+def test_grid_cell_bounds(spark, points_df):
+    df, pdf = points_df
+    out = grid_cell_bounds_cols(
+        assign_tiles(df.limit(100), grid_res=7), "grid_cell_r7"
+    ).collect()
+    for r in out:
+        assert r["cell_lng0"] <= r["lng"] <= r["cell_lng1"]
+        assert r["cell_lat0"] <= r["lat"] <= r["cell_lat1"]
+
+
+@pytest.fixture(scope="module")
+def targets_df(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(77)
+    pdf = pd.DataFrame(
+        {
+            "target_id": np.arange(40, dtype=np.int64),
+            "lat": rng.uniform(44.0, 50.0, 40),
+            "lng": rng.uniform(-3.0, 6.0, 40),
+        }
+    )
+    return spark.createDataFrame(pdf).cache(), pdf
+
+
+def _python_knn_oracle(pdf, tpdf, k):
+    out = set()
+    for _, p in pdf.iterrows():
+        d = (tpdf["lat"] - p["lat"]) ** 2 + (tpdf["lng"] - p["lng"]) ** 2
+        order = sorted(zip(d.to_numpy(), tpdf["target_id"].to_numpy()))[:k]
+        for rank, (dist, tid) in enumerate(order, 1):
+            out.add((int(p["point_id"]), int(tid), rank))
+    return out
+
+
+def test_knn_brute_matches_python(spark, points_df, targets_df):
+    df, pdf = points_df
+    tdf, tpdf = targets_df
+    got = {
+        (r["point_id"], r["target_id"], r["rank"])
+        for r in knn_brute(df.limit(300), tdf, k=3).collect()
+    }
+    want = _python_knn_oracle(pdf.head(300), tpdf, 3)
+    assert got == want
+
+
+def test_knn_cell_join_matches_brute(spark, points_df, targets_df):
+    df, _ = points_df
+    tdf, _ = targets_df
+    sample = df.limit(200)
+    brute = {
+        (r["point_id"], r["target_id"], r["rank"], round(r["dist_sq"], 12))
+        for r in knn_brute(sample, tdf, k=3).collect()
+    }
+    ring = {
+        (r["point_id"], r["target_id"], r["rank"], round(r["dist_sq"], 12))
+        for r in knn_cell_join(sample, tdf, k=3, res=5).collect()
+    }
+    assert ring == brute
+
+
+def test_checkpoint_resume(spark, points_df, tmp_path):
+    df, _ = points_df
+    out_dir = str(tmp_path / "ck")
+    df = df.withColumn("bucket", ckpt.bucket_col(["point_id"], 4))
+
+    def make(b):
+        return df.filter(F.col("bucket") == b).select("point_id", "lat", "lng")
+
+    # first run: fail after bucket 2 (buckets 0..1 committed)
+    with pytest.raises(RuntimeError):
+        ckpt.run_checkpointed(spark, make, 4, out_dir, fail_on_bucket=2)
+    lin1 = ckpt.read_lineage(out_dir)
+    assert sorted(lin1) == [0, 1]
+
+    # resume: buckets 0..1 skipped (lineage timestamps unchanged), 2..3 run
+    res = ckpt.run_checkpointed(spark, make, 4, out_dir)
+    assert res["skipped"] == [0, 1] and res["processed"] == [2, 3]
+    lin2 = ckpt.read_lineage(out_dir)
+    assert {b: lin2[b]["committed_at"] for b in (0, 1)} == {
+        b: lin1[b]["committed_at"] for b in (0, 1)
+    }
+
+    # output equals the input exactly
+    got = ckpt.read_output(spark, out_dir)
+    assert got.count() == df.count()
+    assert got.select(F.sum("point_id")).first()[0] == df.select(F.sum("point_id")).first()[0]
+    assert sum(r["rows"] for r in lin2.values()) == df.count()
