@@ -1,38 +1,339 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship dual-cover PIP join on sf0.001-derived points.
+queries()      — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()   — exact DuckDB ANSI-SQL twins for the SQL-expressible ops.
+
+Float-parity rules used throughout (so the driver's value-hash compare
+is exact): every SQL numeric literal is written in e-notation or CAST
+to DOUBLE (DuckDB parses bare decimals as DECIMAL), derived coordinates
+use identical IEEE double expression trees in both engines, and
+returned columns are integers wherever ranking could amplify float
+noise.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from insideout_spark.geo import grid as geo_grid  # noqa: E402
+from insideout_spark.geo.cover import CoverParams  # noqa: E402
+from insideout_spark.plans import webtext  # noqa: E402
+from insideout_spark.plans.index_build import build_index  # noqa: E402
+from insideout_spark.plans.knn import knn_cell_join  # noqa: E402
+from insideout_spark.plans.multimodal import extract_media_features, synth_media  # noqa: E402
+from insideout_spark.plans.pip_join import pip_join  # noqa: E402
+from insideout_spark.plans.tiles import assign_tiles, grid_cell_bounds_cols  # noqa: E402
+from insideout_spark.sources.polygons import france_rects_loops, rects_sql_predicates  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# shared derivations (Spark side + SQL side must be IDENTICAL expressions)
+# ---------------------------------------------------------------------------
+
+LAT0, LAT1, LNG0, LNG1 = 46.63, 49.10, -1.10, 5.5
+NLAT, NLNG = 997, 1009  # co-prime point grids (FIXTURES.md §6)
+TLAT_N, TLNG_N = 89, 83  # target grids for kNN
+
+POINTS_SQL = (
+    "SELECT event_id AS point_id, "
+    f"46.63e0 + (event_id % {NLAT}) * ((49.10e0 - 46.63e0) / {NLAT}) AS lat, "
+    f"-1.10e0 + (event_id % {NLNG}) * ((5.5e0 - -1.10e0) / {NLNG}) AS lng "
+    "FROM events"
+)
+
+TARGETS_SQL = (
+    "SELECT s_suppkey AS target_id, "
+    f"46.63e0 + (s_suppkey % {TLAT_N}) * ((49.10e0 - 46.63e0) / {TLAT_N}) AS lat, "
+    f"-1.10e0 + (s_suppkey % {TLNG_N}) * ((5.5e0 - -1.10e0) / {TLNG_N}) AS lng "
+    "FROM supplier"
+)
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return events.select(
+        F.col("event_id").cast("long").alias("point_id"),
+        (F.lit(LAT0) + (F.col("event_id") % NLAT) * F.lit((LAT1 - LAT0) / NLAT)).alias("lat"),
+        (F.lit(LNG0) + (F.col("event_id") % NLNG) * F.lit((LNG1 - LNG0) / NLNG)).alias("lng"),
+    )
+
+
+def _targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    return sup.select(
+        F.col("s_suppkey").cast("long").alias("target_id"),
+        (F.lit(LAT0) + (F.col("s_suppkey") % TLAT_N) * F.lit((LAT1 - LAT0) / TLAT_N)).alias("lat"),
+        (F.lit(LNG0) + (F.col("s_suppkey") % TLNG_N) * F.lit((LNG1 - LNG0) / TLNG_N)).alias("lng"),
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# coarse covers for the rect fixture (level-10 boundary cells ~10 km —
+# the reference's countries-scale indexer params, Makefile:50-53 analog)
+_RECT_IP = CoverParams(4, 10, 64)
+_RECT_EP = CoverParams(4, 10, 64)
+_INDEX_CACHE: dict = {}
+
+
+def _rect_index(spark: SparkSession):
+    key = ("rects", id(spark.sparkContext))
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            spark, france_rects_loops(), _RECT_IP, _RECT_EP, warning_cells_cover=100000
+        )
+    return _INDEX_CACHE[key]
+
+
+def _rects_values_sql() -> str:
+    rows = rects_sql_predicates(france_rects_loops())
+    vals = ", ".join(
+        f"({fid}, {pos}, CAST('{x0!r}' AS DOUBLE), CAST('{x1!r}' AS DOUBLE), "
+        f"CAST('{y0!r}' AS DOUBLE), CAST('{y1!r}' AS DOUBLE))"
+        for fid, pos, x0, x1, y0, y1 in rows
+    )
+    return (
+        "(SELECT * FROM (VALUES "
+        + vals
+        + ") AS t(feature_id, loop_pos, lng0, lng1, lat0, lat1))"
+    )
+
+
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: dual-cover PIP join of sf0.001-derived points against the
+    France rect fixture — ancestor-explode broadcast join + interior
+    short-circuit + vectorized ray-cast residue."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _points(spark, sf_dir)
+    res = pip_join(pts, _rect_index(spark), id_cols=("point_id",), ordered=True)
+    return res.select("point_id", "feature_id", "loop_pos", "is_sure_hit", "admin_level")
+
+
+def _q_pip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = pip_join(
+        _points(spark, sf_dir), _rect_index(spark), id_cols=("point_id",),
+        include_properties=False,
+    )
+    return res.select("point_id", "feature_id", "loop_pos")
+
+
+def _q_pip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _q_pip_rect(spark, sf_dir)
+    return res.groupBy("feature_id").agg(F.count("*").cast("long").alias("n_points"))
+
+
+def _q_stop_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = pip_join(
+        _points(spark, sf_dir), _rect_index(spark), id_cols=("point_id",),
+        include_properties=False, stop_on_first=True,
+    )
+    return res.select("point_id", "feature_id", "loop_pos")
+
+
+def _q_grid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = assign_tiles(_points(spark, sf_dir), grid_res=7, s2_level=10)
+    return pts.select("point_id", "grid_cell_r7")
+
+
+def _q_grid_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = assign_tiles(_points(spark, sf_dir), grid_res=7).select("grid_cell_r7").distinct()
+    return grid_cell_bounds_cols(pts, "grid_cell_r7").select(
+        "grid_cell_r7", "cell_lng0", "cell_lat0", "cell_lng1", "cell_lat1"
+    )
+
+
+def _q_s2_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = assign_tiles(_points(spark, sf_dir), s2_level=10, with_token=True)
+    return pts.select("point_id", "s2_cell_l10", "s2_token")
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = knn_cell_join(
+        _points(spark, sf_dir), _targets(spark, sf_dir), k=3, res=5,
+        id_col="point_id", target_id_col="target_id",
+    )
+    return res.select("point_id", "target_id", "dist_sq", F.col("rank").cast("int").alias("rank"))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webtext.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webtext.doc_stats(_docs(spark, sf_dir))
+
+
+def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webtext.lang_guess(_docs(spark, sf_dir))
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webtext.token_counts(_docs(spark, sf_dir))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = webtext.cosine_topk_brute(_embs(spark, sf_dir), _ANN_QUERY_IDS, k=10)
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webtext.lsh_bucket_ann(_embs(spark, sf_dir), _ANN_QUERY_IDS, k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webtext.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.35)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webtext.simhash64(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webtext.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webtext.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_media_features(synth_media(_docs(spark, sf_dir)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pip_rect_join": _q_pip_rect,
+        "pip_count_by_feature": _q_pip_count,
+        "pip_stop_on_first": _q_stop_first,
+        "grid_assign_r7": _q_grid_assign,
+        "grid_cell_bounds": _q_grid_bounds,
+        "s2_assign_l10": _q_s2_assign,
+        "knn3_cell_join": _q_knn,
+        "dedup_exact": _q_dedup_exact,
+        "doc_stats": _q_doc_stats,
+        "lang_guess": _q_lang_guess,
+        "token_counts": _q_token_counts,
+        "ann_cosine_top10": _q_ann_topk,
+        "ann_lsh_top10": _q_ann_lsh,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash64": _q_simhash,
+        "doc_fingerprint": _q_fingerprint,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "multimodal_features": _q_multimodal,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _sql_word_hits(word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"CAST((length(' ' || text || ' ') - "
+        f"length(replace(' ' || text || ' ', '{needle}', ''))) / {len(needle)} AS BIGINT)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    rects = _rects_values_sql()
+    pip_core = (
+        f"WITH pts AS ({POINTS_SQL}), rects AS (SELECT * FROM {rects}) "
+        "SELECT p.point_id, r.feature_id, r.loop_pos "
+        "FROM pts p JOIN rects r ON p.lng > r.lng0 AND p.lng < r.lng1 "
+        "AND p.lat > r.lat0 AND p.lat < r.lat1"
+    )
+    fr = " + ".join(_sql_word_hits(w) for w in webtext.FR_STOPWORDS)
+    en = " + ".join(_sql_word_hits(w) for w in webtext.EN_STOPWORDS)
+    return {
+        "pip_rect_join": pip_core,
+        "pip_count_by_feature": (
+            f"SELECT feature_id, CAST(count(*) AS BIGINT) AS n_points FROM ({pip_core}) "
+            "GROUP BY feature_id"
+        ),
+        "pip_stop_on_first": (
+            f"WITH hits AS ({pip_core}), "
+            "lv AS (SELECT h.*, CASE WHEN h.feature_id = 0 THEN 2.0e0 ELSE 6.0e0 END AS admin_level FROM hits h) "
+            "SELECT point_id, feature_id, loop_pos FROM lv "
+            "QUALIFY row_number() OVER (PARTITION BY point_id "
+            "ORDER BY admin_level ASC, feature_id, loop_pos) = 1"
+        ),
+        "grid_assign_r7": (
+            f"WITH pts AS ({POINTS_SQL}) SELECT point_id, "
+            f"{geo_grid.sql_cell_expr('lat', 'lng', 7)} AS grid_cell_r7 FROM pts"
+        ),
+        "grid_cell_bounds": (
+            f"WITH pts AS ({POINTS_SQL}), cells AS (SELECT DISTINCT "
+            f"{geo_grid.sql_cell_expr('lat', 'lng', 7)} AS grid_cell_r7 FROM pts) "
+            f"SELECT grid_cell_r7, "
+            f"-180.0e0 + ((grid_cell_r7 % {geo_grid.RES_MULT}) // {geo_grid.X_MULT}) * (360.0e0 / 128) AS cell_lng0, "
+            f"-90.0e0 + (grid_cell_r7 % {geo_grid.X_MULT}) * (180.0e0 / 128) AS cell_lat0, "
+            f"-180.0e0 + ((grid_cell_r7 % {geo_grid.RES_MULT}) // {geo_grid.X_MULT}) * (360.0e0 / 128) + (360.0e0 / 128) AS cell_lng1, "
+            f"-90.0e0 + (grid_cell_r7 % {geo_grid.X_MULT}) * (180.0e0 / 128) + (180.0e0 / 128) AS cell_lat1 "
+            "FROM cells"
+        ),
+        "knn3_cell_join": (
+            f"WITH pts AS ({POINTS_SQL}), tgt AS ({TARGETS_SQL}) "
+            "SELECT p.point_id, t.target_id, "
+            "(p.lat - t.lat) * (p.lat - t.lat) + (p.lng - t.lng) * (p.lng - t.lng) AS dist_sq, "
+            "CAST(row_number() OVER (PARTITION BY p.point_id ORDER BY "
+            "(p.lat - t.lat) * (p.lat - t.lat) + (p.lng - t.lng) * (p.lng - t.lng), t.target_id) AS INT) AS rank "
+            "FROM pts p, tgt t QUALIFY rank <= 3"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_dups, "
+            "min(doc_id) AS rep_doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "doc_stats": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc, "
+            "CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_distinct(regexp_split_to_array(trim(text), ' +'))) AS BIGINT) AS n_distinct_tokens, "
+            "CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS total_token_chars "
+            "FROM documents"
+        ),
+        "lang_guess": (
+            f"SELECT doc_id, {fr} AS fr_hits, {en} AS en_hits, "
+            f"CASE WHEN {fr} > {en} THEN 'fr' WHEN {en} > {fr} THEN 'en' "
+            "ELSE 'und' END AS lang_guess FROM documents"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_ws_tokens, "
+            "CAST(CEIL(strlen(text) / 4.0e0) AS BIGINT) AS n_bpe_budget FROM documents"
+        ),
+        "ann_cosine_top10": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)), "
+            "pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "ROUND(list_dot_product(q.qv, e.v) / "
+            "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 5) AS c "
+            "FROM q, e WHERE e.vec_id != q.query_id) "
+            "SELECT query_id, neighbor_id, "
+            "CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank "
+            "FROM pairs QUALIFY rank <= 10"
+        ),
+        # non-SQL-expressible ops (custom hashing / LSH / stubbed codecs)
+        # intentionally omitted: ann_lsh_top10, minhash_lsh_pairs,
+        # simhash64, doc_fingerprint, ngram_jaccard_pairs,
+        # multimodal_features, s2_assign_l10 (S2 Hilbert math has no SQL
+        # form) — the driver records rows-only checks; python oracles
+        # cover them in tests/.
+    }

@@ -1,0 +1,408 @@
+"""Web-scale training-data pipeline operators over the `documents` and
+`embeddings` tables: dedup (exact, MinHash-LSH, SimHash, n-gram
+Jaccard), text quality/language/token analysis, fingerprinting, and
+similarity search (brute-force cosine + LSH-bucketed ANN).
+
+Everything is built on DataFrame ops + Arrow-batched pandas UDFs; the
+SQL-expressible operators (exact dedup, token counts, language ID,
+quality stats) have exact DuckDB oracles in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group identical texts: (text_md5, n_dups, rep_doc_id). The
+    canonical exact-dedup shape: one shuffle on the hash, map-side
+    combinable."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("rep_doc_id"))
+    )
+
+
+def drop_exact_dups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the lowest-doc_id representative of each identical text."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy("doc_id")
+    return docs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# text analysis (all Catalyst-side; oracles in ANSI SQL)
+# ---------------------------------------------------------------------------
+
+FR_STOPWORDS = ("le", "la", "les", "un", "une", "et", "de")
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def _word_hits(text_col, word: str):
+    # occurrences of ' word ' in ' text ' — pure length arithmetic so the
+    # DuckDB oracle is the same expression
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality stats: char count, whitespace token count, distinct
+    token count, mean token length (x1000, integer — exact arithmetic)."""
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    return docs.select(
+        "doc_id",
+        F.length(text_col).cast("long").alias("n_chars_calc"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length(F.regexp_replace(F.col(text_col), " ", ""))
+        .cast("long")
+        .alias("total_token_chars"),
+    )
+
+
+def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID (n-gram-heuristic class): counts of
+    French vs English stopword occurrences -> 'fr' / 'en' / 'und'."""
+    fr = sum((_word_hits(text_col, w) for w in FR_STOPWORDS), F.lit(0).cast("long"))
+    en = sum((_word_hits(text_col, w) for w in EN_STOPWORDS), F.lit(0).cast("long"))
+    return docs.select(
+        "doc_id",
+        fr.alias("fr_hits"),
+        en.alias("en_hits"),
+        F.when(fr > en, "fr").when(en > fr, "en").otherwise("und").alias("lang_guess"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish proxy: ceil(bytes/4) 'subword'
+    budget — both exact integer arithmetic."""
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.ceil(F.octet_length(text_col) / F.lit(4.0)).cast("long").alias("n_bpe_budget"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting / MinHash / SimHash (vectorized pandas UDFs)
+# ---------------------------------------------------------------------------
+
+_P31 = (1 << 31) - 1  # Mersenne prime: (a*h+b) products fit uint64 exactly
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Rolling polynomial hash over k-char shingles (document
+    fingerprinting primitive). Base-257 mod 2^64 (natural uint64 wrap),
+    mixed down to 31 bits so minhash permutations stay in uint64.
+    Fully vectorized."""
+    b = text.encode("utf-8")
+    if len(b) < k:
+        b = b + b"\x00" * (k - len(b))
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    n = len(arr) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for i in range(k):
+        h = h * np.uint64(257) + arr[i : i + n]
+    # xor-fold + mask to 31 bits
+    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    h = (h ^ (h >> np.uint64(29))) & np.uint64(_P31)
+    return np.unique(h)
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """64-bit document fingerprint = min rolling-hash shingle (a 1-perm
+    minhash). Non-SQL-expressible; python-oracle-tested."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            fps = [int(_shingle_hashes(t, k).min()) for t in pdf[text_col]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fingerprint": np.array(fps, dtype=np.int64)})
+
+    return docs.select("doc_id", text_col).mapInPandas(run, schema="doc_id long, fingerprint long")
+
+
+_MINHASH_PERMS = 32
+_LSH_BANDS = 8  # 8 bands x 4 rows
+
+
+def _minhash_params():
+    rng = np.random.default_rng(20240101)
+    a = rng.integers(1, _P31, _MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _P31, _MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """(doc_id, sig: array<long>) — 32-perm MinHash over k-char shingles.
+    (a*h + b) mod (2^31-1): all products < 2^62, exact in uint64."""
+    a, b = _minhash_params()
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            sigs = []
+            for t in pdf[text_col]:
+                sh = _shingle_hashes(t, k)  # (n,) uint64 < 2^31
+                perms = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_P31)
+                sigs.append([int(v) for v in perms.min(axis=1)])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return docs.select("doc_id", text_col).mapInPandas(run, schema="doc_id long, sig array<long>")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", k: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH, verified by signature-
+    estimated Jaccard >= threshold. shingle->minhash->band->bucket-join:
+    one shuffle on band hash, self-join within buckets only."""
+    sigs = minhash_signatures(docs, text_col, k)
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(*[F.col("sig")[j] for j in range(i * rows_per_band, (i + 1) * rows_per_band)]).alias("bh"),
+                    )
+                    for i in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sig", "b.band", "b.bh")
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bh"
+    )
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(_MINHASH_PERMS)
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (splitmix64 token hashes,
+    +/-1 per bit, sign -> bit)."""
+
+    def run(batches):
+        import pandas as pd
+
+        from ..sources.pages import _splitmix64
+
+        for pdf in batches:
+            out = []
+            for t in pdf[text_col]:
+                toks = [w for w in t.split(" ") if w]
+                if not toks:
+                    out.append(0)
+                    continue
+                hs = _splitmix64(
+                    np.array([hash_bytes(w) for w in toks], dtype=np.uint64)
+                )
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+                v = (2 * bits - 1).sum(axis=0)
+                sim = np.uint64(0)
+                for bit in np.flatnonzero(v > 0):
+                    sim |= np.uint64(1) << np.uint64(bit)
+                out.append(int(sim.view(np.int64)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": np.array(out, dtype=np.int64)})
+
+    def hash_bytes(w: str) -> int:
+        h = 1469598103934665603
+        for ch in w.encode("utf-8"):
+            h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF  # FNV-1a
+        return h
+
+    return docs.select("doc_id", text_col).mapInPandas(run, schema="doc_id long, simhash long")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.3
+) -> DataFrame:
+    """Exact n-gram (token) Jaccard over LSH-free blocked pairs: blocks
+    on a cheap key (first token) to avoid the full cross join, then
+    exact set Jaccard in a pandas UDF. For corpora where near-dups share
+    openings; the MinHash path is the general one."""
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    d = docs.select("doc_id", F.element_at(toks, 1).alias("block"), grams.alias("grams"))
+    a = d.select(F.col("doc_id").alias("doc_a"), "block", F.col("grams").alias("ga"))
+    b = d.select(F.col("doc_id").alias("doc_b"), "block", F.col("grams").alias("gb"))
+    pairs = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    jac = inter.cast("double") / union.cast("double")
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk_brute(
+    embeddings: DataFrame,
+    query_ids,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the full matrix, vectorized
+    numpy scoring per Arrow batch of queries. Ranking uses the score
+    rounded to `round_digits` with id tiebreak so an independent oracle
+    (DuckDB) ranks identically despite float summation-order noise."""
+    spark = embeddings.sparkSession
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    qset = [int(q) for q in query_ids]
+    kk, rd = int(k), int(round_digits)
+
+    queries = embeddings.filter(F.col(id_col).isin(qset)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            out_q, out_n, out_r, out_s = [], [], [], []
+            for qid, qv in zip(pdf["query_id"], pdf["qv"]):
+                q = np.asarray(qv, dtype=np.float64)
+                qn = np.sqrt((q * q).sum())
+                cos = np.round(mat @ q / (norms * qn), rd)
+                mask = ids != qid
+                cid, ccos = ids[mask], cos[mask]
+                order = np.lexsort((cid, -ccos))[:kk]
+                out_q.extend([qid] * len(order))
+                out_n.extend(cid[order])
+                out_r.extend(range(1, len(order) + 1))
+                out_s.extend(ccos[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "rank": np.array(out_r, dtype=np.int32),
+                    "cos_sim": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    return queries.mapInPandas(
+        run, schema="query_id long, neighbor_id long, rank int, cos_sim double"
+    )
+
+
+def _lsh_planes(dim: int, n_planes: int = 12):
+    rng = np.random.default_rng(777)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_ann(
+    embeddings: DataFrame,
+    query_ids,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k: sign-random-projection LSH, `n_tables`
+    independent tables; candidates = union of same-bucket vectors over
+    tables; exact rescoring of candidates only. The scale path: the
+    bucket join shuffles candidates, never the full cross product."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.default_rng(20240202)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    bplanes = embeddings.sparkSession.sparkContext.broadcast(planes)
+    qset = [int(q) for q in query_ids]
+
+    def buckets(batches):
+        import pandas as pd
+
+        P = bplanes.value
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            rows = {"vid": [], "table": [], "bucket": []}
+            for t in range(P.shape[0]):
+                signs = (mat @ P[t].T) > 0
+                bucket = (signs.astype(np.int64) << np.arange(P.shape[1])).sum(axis=1)
+                rows["vid"].extend(pdf[id_col])
+                rows["table"].extend([t] * len(pdf))
+                rows["bucket"].extend(bucket)
+            yield pd.DataFrame(rows)
+
+    b = embeddings.select(id_col, vec_col).mapInPandas(
+        buckets, schema="vid long, table int, bucket long"
+    )
+    qb = b.filter(F.col("vid").isin(qset)).select(
+        F.col("vid").alias("query_id"), "table", "bucket"
+    )
+    cand = (
+        qb.join(b, ["table", "bucket"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qv = embeddings.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    nv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = cand.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qn = F.sqrt(
+        F.aggregate(F.transform("qv", lambda x: (x * x).cast("double")), F.lit(0.0), lambda a, x: a + x)
+    )
+    nn = F.sqrt(
+        F.aggregate(F.transform("nv", lambda x: (x * x).cast("double")), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = scored.withColumn("cos_sim", dot / (qn * nn))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
