@@ -345,14 +345,19 @@ def lsh_bucket_ann(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 8,
-    n_tables: int = 6,
+    n_planes: int | None = None,
+    n_tables: int = 8,
 ) -> DataFrame:
     """Approximate cosine top-k: sign-random-projection LSH, `n_tables`
     independent tables; candidates = union of same-bucket vectors over
     tables; exact rescoring of candidates only. The scale path: the
-    bucket join shuffles candidates, never the full cross product."""
+    bucket join shuffles candidates, never the full cross product.
+    Plane count defaults to log2(n/32): ~32 vectors per bucket at any
+    corpus size."""
     dim = len(embeddings.select(vec_col).first()[0])
+    if n_planes is None:
+        n = embeddings.count()
+        n_planes = max(2, int(np.log2(max(n, 64) / 32.0)))
     rng = np.random.default_rng(20240202)
     planes = rng.standard_normal((n_tables, n_planes, dim))
     bplanes = embeddings.sparkSession.sparkContext.broadcast(planes)

@@ -1,0 +1,159 @@
+"""Python-oracle tests for the non-SQL-expressible webtext operators:
+MinHash vs true Jaccard, SimHash locality, fingerprints, LSH-ANN recall,
+and the multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from insideout_spark.plans import webtext
+from insideout_spark.plans.multimodal import (
+    extract_media_features,
+    resize_plan,
+    sample_frames,
+    synth_media,
+)
+
+
+def _shingles(text: str, k: int = 5) -> set:
+    b = text.encode("utf-8")
+    if len(b) < k:
+        b = b + b"\x00" * (k - len(b))
+    return {b[i : i + k] for i in range(len(b) - k + 1)}
+
+
+def _jaccard(a: set, b: set) -> float:
+    return len(a & b) / len(a | b)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Corpus with planted near-duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the rain falls outside all afternoon"
+    )
+    rows = []
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    for i in range(30):
+        rng = np.random.default_rng(1000 + i)
+        words = ["".join(rng.choice(letters, 8)) for _ in range(40)]
+        rows.append((i, " ".join(words)))
+    rows.append((100, base))
+    rows.append((101, base + " extra tail words here"))  # near-dup of 100
+    rows.append((102, base.replace("quick", "slow")))  # near-dup of 100
+    rows.append((103, base))  # exact dup of 100
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, dup_docs):
+    groups = webtext.exact_dedup_groups(dup_docs).collect()
+    sizes = sorted(g["n_dups"] for g in groups)
+    assert sizes[-1] == 2  # 100 & 103
+    g2 = [g for g in groups if g["n_dups"] == 2][0]
+    assert g2["rep_doc_id"] == 100
+    kept = webtext.drop_exact_dups(dup_docs)
+    assert kept.count() == dup_docs.count() - 1
+    assert kept.filter(F.col("doc_id") == 103).count() == 0
+
+
+def test_minhash_estimates_jaccard(spark, dup_docs):
+    sigs = {r["doc_id"]: r["sig"] for r in webtext.minhash_signatures(dup_docs).collect()}
+    texts = {r["doc_id"]: r["text"] for r in dup_docs.collect()}
+    for a, b in [(100, 101), (100, 102), (100, 103), (0, 1)]:
+        true_j = _jaccard(_shingles(texts[a]), _shingles(texts[b]))
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / len(sigs[a])
+        assert abs(est - true_j) < 0.3, (a, b, true_j, est)
+    assert sigs[100] == sigs[103]  # identical docs -> identical signatures
+
+
+def test_minhash_lsh_finds_near_dups(spark, dup_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in webtext.minhash_lsh_pairs(dup_docs, threshold=0.5).collect()
+    }
+    assert (100, 103) in pairs and pairs[(100, 103)] == 1.0
+    assert (100, 101) in pairs or (100, 102) in pairs
+    # unrelated docs never pair
+    assert not any(a < 30 and b < 30 for (a, b) in pairs)
+
+
+def test_simhash_locality(spark, dup_docs):
+    sh = {r["doc_id"]: r["simhash"] for r in webtext.simhash64(dup_docs).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert sh[100] == sh[103]
+    assert ham(sh[100], sh[102]) < 12  # one-token change: small distance
+    assert ham(sh[0], sh[100]) > 16  # unrelated: large distance
+
+
+def test_fingerprint_deterministic(spark, dup_docs):
+    a = {r["doc_id"]: r["fingerprint"] for r in webtext.fingerprint(dup_docs).collect()}
+    b = {r["doc_id"]: r["fingerprint"] for r in webtext.fingerprint(dup_docs).collect()}
+    assert a == b
+    assert a[100] == a[103]
+    assert a[0] != a[1]
+
+
+def test_ngram_jaccard_pairs(spark, dup_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in webtext.ngram_jaccard_pairs(dup_docs, threshold=0.3).collect()
+    }
+    assert pairs[(100, 103)] == 1.0
+    assert (100, 101) in pairs
+
+
+@pytest.fixture(scope="module")
+def embeddings_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_lsh_ann_recall(spark, embeddings_df):
+    """LSH-bucketed ANN must reach >=60% recall@10 vs brute force on the
+    synthetic embeddings (clustered labels make this easy)."""
+    qids = [0, 1, 2, 3, 4]
+    brute = webtext.cosine_topk_brute(embeddings_df, qids, k=10).collect()
+    approx = webtext.lsh_bucket_ann(embeddings_df, qids, k=10).collect()
+    b = {}
+    for r in brute:
+        b.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    a = {}
+    for r in approx:
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(a.get(q, set()) & b[q]) / len(b[q]) for q in b]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_brute_topk_self_excluded(spark, embeddings_df):
+    res = webtext.cosine_topk_brute(embeddings_df, [0, 1], k=5).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in res)
+    ranks = sorted(r["rank"] for r in res if r["query_id"] == 0)
+    assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_multimodal_plumbing(spark, dup_docs):
+    media = synth_media(dup_docs)
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == dup_docs.count()
+    assert all(r["feat_std"] >= 0.0 for r in rows)
+    # deterministic across runs
+    again = {r["doc_id"]: r["feat_mean"] for r in extract_media_features(media).collect()}
+    assert {r["doc_id"]: r["feat_mean"] for r in rows} == again
+    # frame sampling only for videos, correct stride
+    frames = sample_frames(media, every_nth=5).collect()
+    assert all(r["frame_idx"] % 5 == 0 for r in frames)
+    vids = media.filter(F.col("media_type") == "video/mp4").count()
+    assert len({r["doc_id"] for r in frames}) == vids
+    # resize preserves aspect within rounding
+    rz = resize_plan(media, max_side=100).collect()
+    assert all(max(r["target_w"], r["target_h"]) <= 101 for r in rz)
+
+
+def test_real_codec_stub_raises(spark, dup_docs):
+    media = synth_media(dup_docs.limit(2))
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        extract_media_features(media, use_real_codec=True).collect()
