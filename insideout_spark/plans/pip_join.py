@@ -80,6 +80,84 @@ def _pip_filter_broadcast(candidates: DataFrame, rings_bc, lat_col: str, lng_col
     return candidates.mapInPandas(run, schema=candidates.schema)
 
 
+def _fused_stab(joined: DataFrame, rings_bc, id_cols, lat_col: str, lng_col: str) -> DataFrame:
+    """Single-pass dedup + interior short-circuit + exact-PIP residue.
+
+    Exploits a broadcast-join invariant: the ancestor explode emits each
+    point's rows contiguously and the broadcast hash join preserves
+    per-partition row order, so all hit rows of one point are contiguous
+    within a partition. Dedup + max(is_interior) therefore need NO
+    shuffle — only a carryover of the trailing point's rows across Arrow
+    batch boundaries. (The filter-split + union formulation executed the
+    whole upstream twice and shuffled for the aggregate; observed via
+    .explain and removed.)
+    """
+    key = list(id_cols)
+    cols = key + [lat_col, lng_col, "feature_id", "loop_pos"]
+
+    def run(batches):
+        import pandas as pd
+
+        rings = rings_bc.value
+        carry = None
+
+        def process(pdf):
+            pdf = pdf.reset_index(drop=True)
+            lats = pdf[lat_col].to_numpy()
+            lngs = pdf[lng_col].to_numpy()
+            sure = (
+                pdf.groupby(key + ["feature_id", "loop_pos"], sort=False)["is_interior"]
+                .transform("max")
+                .to_numpy()
+            )
+            first = ~pdf.duplicated(key + ["feature_id", "loop_pos"]).to_numpy()
+            keep = first & sure
+            # exact test only for the non-sure residue, grouped per loop
+            resid = first & ~sure
+            if resid.any():
+                rdf = pdf[resid]
+                ridx = np.flatnonzero(resid)
+                for (fid, pos), gidx in rdf.groupby(
+                    ["feature_id", "loop_pos"]
+                ).indices.items():
+                    ring = rings.get((int(fid), int(pos)))
+                    if ring is None or len(ring) < 3:
+                        continue
+                    rows = ridx[gidx]
+                    inside = geo_pip.points_in_ring(lngs[rows], lats[rows], ring)
+                    keep[rows] = inside
+            out = pdf[keep][cols].copy()
+            out["is_sure_hit"] = sure[keep]
+            return out
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            # hold back the trailing point's rows: its group may continue
+            # in the next batch
+            last = tuple(pdf[c].iloc[-1] for c in key)
+            tailmask = np.ones(len(pdf), dtype=bool)
+            for c, v in zip(key, last):
+                tailmask &= (pdf[c] == v).to_numpy()
+            # tail rows are contiguous at the end
+            tail_start = len(pdf) - int(tailmask[::-1].argmin() if not tailmask.all() else len(pdf))
+            carry = pdf.iloc[tail_start:]
+            head = pdf.iloc[:tail_start]
+            if len(head):
+                yield process(head)
+        if carry is not None and len(carry):
+            yield process(carry)
+
+    out_schema = ", ".join(
+        [f"{joined.schema[c].name} {joined.schema[c].dataType.simpleString()}" for c in cols]
+        + ["is_sure_hit boolean"]
+    )
+    return joined.mapInPandas(run, schema=out_schema)
+
+
 def _pip_filter_with_ring_col(candidates: DataFrame, lat_col: str, lng_col: str) -> DataFrame:
     """Fully distributed PIP for the shuffle path: the ring travels as a
     column (joined from features), so no driver collect / broadcast of
@@ -141,7 +219,14 @@ def pip_join(
 
     cell_index = index.cell_index
     if broadcast_index:
+        # fused zero-shuffle path: broadcast join keeps each point's hit
+        # rows contiguous in its partition; dedup + interior
+        # short-circuit + exact PIP happen in one Arrow pass
+        # (reference A2 dedup storage.go:243,284 + J5 anti-join
+        # treeindex:79-91 + P3 exact test server.go:246-249)
         joined = pts.join(F.broadcast(cell_index), "cell_id", "inner")
+        rings_bc = _rings_broadcast(index)
+        result = _fused_stab(joined, rings_bc, id_cols, lat_col, lng_col)
     else:
         s = int(salt_buckets or 8)
         salted_index = cell_index.withColumn(
@@ -149,21 +234,13 @@ def pip_join(
         )
         pts = pts.withColumn("salt", F.pmod(F.xxhash64(*id_cols), F.lit(s)).cast("int"))
         joined = pts.join(salted_index, ["cell_id", "salt"], "inner").drop("salt")
-
-    # dedup across overlapping cover cells + interior-over-candidate
-    # precedence in ONE map-side-combinable aggregation
-    # (reference A2 dedup storage.go:243,284 + J5 anti-join treeindex:79-91)
-    hits = joined.groupBy(*id_cols, lat_col, lng_col, "feature_id", "loop_pos").agg(
-        F.max("is_interior").alias("is_sure_hit")
-    )
-
-    sure = hits.filter(F.col("is_sure_hit"))
-    candidates = hits.filter(~F.col("is_sure_hit"))
-
-    if broadcast_index:
-        rings_bc = _rings_broadcast(index)
-        passed = _pip_filter_broadcast(candidates, rings_bc, lat_col, lng_col)
-    else:
+        # shuffle path: row contiguity is not guaranteed after a shuffled
+        # join, so dedup is an explicit (map-side-combinable) aggregation
+        hits = joined.groupBy(*id_cols, lat_col, lng_col, "feature_id", "loop_pos").agg(
+            F.max("is_interior").alias("is_sure_hit")
+        )
+        sure = hits.filter(F.col("is_sure_hit"))
+        candidates = hits.filter(~F.col("is_sure_hit"))
         with_ring = candidates.join(
             index.features.select("feature_id", "loop_pos", "ring"),
             ["feature_id", "loop_pos"],
@@ -171,8 +248,7 @@ def pip_join(
         passed = _pip_filter_with_ring_col(with_ring, lat_col, lng_col).select(
             *candidates.columns
         )
-
-    result = sure.unionByName(passed)
+        result = sure.unionByName(passed)
 
     props = index.features.select("feature_id", "loop_pos", "properties", "admin_level")
     if include_properties:

@@ -124,13 +124,24 @@ POINTS_SCHEMA = StructType(
 
 
 def extract_points(pages: DataFrame) -> DataFrame:
-    """pages -> (url, lat, lng) via the deterministic text extractor
-    (vectorized pandas UDF; the reference's query-point source)."""
-    from ..functions.udfs import extract_coords
+    """pages -> (url, lat, lng) via the deterministic text extractor.
 
-    return pages.select(
-        "url", extract_coords(F.col("text")).alias("c")
-    ).select("url", F.col("c.lat").alias("lat"), F.col("c.lng").alias("lng"))
+    Extraction + the no-coordinate filter run in ONE mapInPandas stage:
+    a scalar-UDF + filter formulation makes Catalyst collapse the
+    projection and evaluate the UDF twice (observed in .explain)."""
+    from ..geo.extract import extract_coords_series
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            lat, lng = extract_coords_series(pdf["text"])
+            keep = lat.notna() & lng.notna()
+            yield pd.DataFrame(
+                {"url": pdf["url"][keep], "lat": lat[keep], "lng": lng[keep]}
+            )
+
+    return pages.select("url", "text").mapInPandas(run, schema=POINTS_SCHEMA)
 
 
 def derive_points_from_events(events: DataFrame) -> DataFrame:
