@@ -178,50 +178,106 @@ def _cell_cap(cell):
     return (float(cx), float(cy), float(cz)), float(np.arccos(cosang.min())) * 1.5
 
 
+def cell_latlng_rects(cells):
+    """Vectorized conservative rects for N cells. Returns
+    (valid (N,), lng0, lng1, lat0, lat1) — invalid where polar/wrapping."""
+    cells = np.asarray(cells, dtype=np.uint64)
+    n = len(cells)
+    face, u0, u1, v0, v1 = s2.cell_uv_bounds(cells)
+    ts = np.linspace(0.0, 1.0, _EDGE_SAMPLES + 1)
+    # boundary samples in uv: 4 edges x (S+1) points -> (n, 4(S+1))
+    us = u0[:, None] + (u1 - u0)[:, None] * ts[None, :]
+    vs = v0[:, None] + (v1 - v0)[:, None] * ts[None, :]
+    cu1 = np.broadcast_to(u1[:, None], us.shape)
+    cu0 = np.broadcast_to(u0[:, None], us.shape)
+    cv0 = np.broadcast_to(v0[:, None], vs.shape)
+    cv1 = np.broadcast_to(v1[:, None], vs.shape)
+    bu = np.concatenate([us, cu1, us[:, ::-1], cu0], axis=1)
+    bv = np.concatenate([cv0, vs, cv1, vs[:, ::-1]], axis=1)
+    bface = np.broadcast_to(face[:, None], bu.shape)
+    x, y, z = s2.face_uv_to_xyz(bface.ravel(), bu.ravel(), bv.ravel())
+    norm = np.sqrt(x * x + y * y + z * z)
+    lat, lng = s2.xyz_to_latlng(x / norm, y / norm, z / norm)
+    lat = lat.reshape(n, -1)
+    lng = lng.reshape(n, -1)
+    lng0, lng1 = lng.min(axis=1), lng.max(axis=1)
+    lat0, lat1 = lat.min(axis=1), lat.max(axis=1)
+    valid = (lng1 - lng0 <= 180.0) & (lat1 <= 89.9) & (lat0 >= -89.9)
+    dl = (lng1 - lng0) * 0.02 + 1e-12
+    dt = (lat1 - lat0) * 0.02 + 1e-12
+    return valid, lng0 - dl, lng1 + dl, lat0 - dt, lat1 + dt
+
+
+def _cell_caps(cells):
+    """Vectorized conservative spherical caps: (cx,cy,cz (N,)), rad (N,)."""
+    cells = np.asarray(cells, dtype=np.uint64)
+    clat, clng = s2.cell_center_latlng(cells)
+    vlat, vlng = s2.cell_vertices_latlng(cells)
+    cx, cy, cz = s2.latlng_to_xyz(clat, clng)
+    vx, vy, vz = s2.latlng_to_xyz(vlat, vlng)
+    cosang = np.clip(
+        vx * cx[:, None] + vy * cy[:, None] + vz * cz[:, None], -1.0, 1.0
+    )
+    return (cx, cy, cz), np.arccos(cosang.min(axis=1)) * 1.5
+
+
 def cover_ring(ring, params: CoverParams, interior: bool):
     """Compute the covering (interior=False) or interior covering
     (interior=True) of one ring. Returns a normalized list of uint64
-    cell ids."""
+    cell ids. Level-synchronous BFS, fully vectorized per level."""
     ring = pip.normalize_ring(np.asarray(ring, dtype=np.float64))
     if len(ring) < 3:
         return []
-    ring_bbox = (
-        float(ring[:, 0].min()),
-        float(ring[:, 0].max()),
-        float(ring[:, 1].min()),
-        float(ring[:, 1].max()),
-    )
+    bx0, bx1 = float(ring[:, 0].min()), float(ring[:, 0].max())
+    by0, by1 = float(ring[:, 1].min()), float(ring[:, 1].max())
     (rcx, rcy, rcz), rrad = _ring_cap(ring)
     out = []
-    stack = list(_FACE_CELLS)
-    while stack:
-        cell = stack.pop()
-        lvl = int(s2.level(np.array([cell]))[0])
+    alive = np.array(_FACE_CELLS, dtype=np.uint64)
+    for lvl in range(0, params.max_level + 1):
+        if len(alive) == 0:
+            break
         # level-independent spherical-cap reject (handles poles/wrap)
-        (ccx, ccy, ccz), crad = _cell_cap(cell)
+        (ccx, ccy, ccz), crad = _cell_caps(alive)
         cosd = np.clip(rcx * ccx + rcy * ccy + rcz * ccz, -1.0, 1.0)
-        if float(np.arccos(cosd)) > rrad + crad + 1e-9:
-            continue
-        rect = cell_latlng_rect(cell)
-        if rect is None or lvl < params.min_level:
-            if lvl >= params.max_level:
-                # unclassifiable at max depth: conservative BOUNDARY
-                if not interior:
-                    out.append(cell)
-                continue
-            # can't classify yet (coarse / polar / wrapping): recurse
-            stack.extend(s2.children(np.array([cell]))[:, 0])
-            continue
-        cls = _classify(rect, ring, ring_bbox)
-        if cls == OUTSIDE:
-            continue
-        if cls == INSIDE:
-            out.append(cell)
-            continue
-        if lvl < params.max_level:
-            stack.extend(s2.children(np.array([cell]))[:, 0])
-        elif not interior:
-            out.append(cell)
+        alive = alive[np.arccos(cosd) <= rrad + crad + 1e-9]
+        if len(alive) == 0:
+            break
+        valid, rx0, rx1, ry0, ry1 = cell_latlng_rects(alive)
+        classify = valid & (lvl >= params.min_level)
+        code = np.full(len(alive), BOUNDARY, dtype=np.int8)
+        if np.any(classify):
+            cm = classify
+            # bbox reject
+            disjoint = (rx1 < bx0) | (rx0 > bx1) | (ry1 < by0) | (ry0 > by1)
+            edge_hit = np.zeros(len(alive), dtype=bool)
+            vert_in = np.zeros(len(alive), dtype=bool)
+            todo = cm & ~disjoint
+            if np.any(todo):
+                edge_hit[todo] = pip.segments_intersect_rects(
+                    ring, rx0[todo], rx1[todo], ry0[todo], ry1[todo]
+                )
+                vert_in[todo] = pip.vertices_in_rects(
+                    ring, rx0[todo], rx1[todo], ry0[todo], ry1[todo]
+                )
+            center_in = np.zeros(len(alive), dtype=bool)
+            plain = todo & ~edge_hit & ~vert_in
+            if np.any(plain):
+                center_in[plain] = pip.points_in_ring(
+                    (rx0[plain] + rx1[plain]) * 0.5,
+                    (ry0[plain] + ry1[plain]) * 0.5,
+                    ring,
+                )
+            code[cm & disjoint] = OUTSIDE
+            code[plain & center_in] = INSIDE
+            code[plain & ~center_in] = OUTSIDE
+            # edge_hit or vert_in stay BOUNDARY
+        out.extend(alive[code == INSIDE])
+        if lvl == params.max_level:
+            if not interior:
+                out.extend(alive[code == BOUNDARY])
+            break
+        recurse = alive[code == BOUNDARY]
+        alive = s2.children(recurse).T.ravel() if len(recurse) else recurse
     if interior:
         return _shrink_interior(out, params.max_cells)
     return _coarsen_covering(out, params.min_level, params.max_cells)

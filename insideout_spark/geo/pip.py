@@ -77,6 +77,62 @@ def ring_contains_point(ring, lng, lat):
     return bool(points_in_ring(np.array([lng]), np.array([lat]), ring)[0])
 
 
+def segments_intersect_rects(ring, rx0, rx1, ry0, ry1):
+    """Vectorized over N rects: True where any ring edge intersects the
+    rect [rx0,rx1]x[ry0,ry1]. rx0.. are (N,) arrays. Used by the
+    coverer's batched cell classification."""
+    ring = normalize_ring(ring)
+    x1 = ring[:, 0][None, :]  # (1,M)
+    y1 = ring[:, 1][None, :]
+    x2 = np.roll(ring[:, 0], -1)[None, :]
+    y2 = np.roll(ring[:, 1], -1)[None, :]
+    rx0 = np.asarray(rx0, dtype=np.float64)[:, None]  # (N,1)
+    rx1 = np.asarray(rx1, dtype=np.float64)[:, None]
+    ry0 = np.asarray(ry0, dtype=np.float64)[:, None]
+    ry1 = np.asarray(ry1, dtype=np.float64)[:, None]
+    # quick reject per (rect, edge)
+    cand = ~(
+        (np.maximum(x1, x2) < rx0)
+        | (np.minimum(x1, x2) > rx1)
+        | (np.maximum(y1, y2) < ry0)
+        | (np.minimum(y1, y2) > ry1)
+    )  # (N,M)
+    # endpoint inside rect
+    inside1 = (x1 >= rx0) & (x1 <= rx1) & (y1 >= ry0) & (y1 <= ry1)
+    inside2 = (x2 >= rx0) & (x2 <= rx1) & (y2 >= ry0) & (y2 <= ry1)
+    hit = np.any(cand & (inside1 | inside2), axis=1)
+    todo = np.any(cand, axis=1) & ~hit
+    if not np.any(todo):
+        return hit
+    # proper segment-segment tests against the 4 rect edges
+    corners = (
+        (rx0, ry0, rx1, ry0),
+        (rx1, ry0, rx1, ry1),
+        (rx1, ry1, rx0, ry1),
+        (rx0, ry1, rx0, ry0),
+    )
+    for ax0, ay0, ax1, ay1 in corners:
+        d1 = (x2 - x1) * (ay0 - y1) - (y2 - y1) * (ax0 - x1)
+        d2 = (x2 - x1) * (ay1 - y1) - (y2 - y1) * (ax1 - x1)
+        d3 = (ax1 - ax0) * (y1 - ay0) - (ay1 - ay0) * (x1 - ax0)
+        d4 = (ax1 - ax0) * (y2 - ay0) - (ay1 - ay0) * (x2 - ax0)
+        hit |= np.any(cand & (d1 * d2 <= 0) & (d3 * d4 <= 0), axis=1)
+    return hit
+
+
+def vertices_in_rects(ring, rx0, rx1, ry0, ry1):
+    """Vectorized over N rects: True where any ring vertex lies in the
+    rect."""
+    ring = normalize_ring(ring)
+    vx = ring[:, 0][None, :]
+    vy = ring[:, 1][None, :]
+    rx0 = np.asarray(rx0, dtype=np.float64)[:, None]
+    rx1 = np.asarray(rx1, dtype=np.float64)[:, None]
+    ry0 = np.asarray(ry0, dtype=np.float64)[:, None]
+    ry1 = np.asarray(ry1, dtype=np.float64)[:, None]
+    return np.any((vx >= rx0) & (vx <= rx1) & (vy >= ry0) & (vy <= ry1), axis=1)
+
+
 def segments_intersect_rect(ring, rx0, rx1, ry0, ry1):
     """True if any ring edge intersects the axis-aligned rect
     [rx0,rx1]x[ry0,ry1] (in lng/lat). Vectorized over edges —
