@@ -1,0 +1,68 @@
+"""Result sinks: GeoJSON export of stab-join results (the reference's
+HTTP FeatureCollection response, server/http.go:113-138) and parquet
+writers."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from .index_build import IndexBundle
+
+
+def results_to_geojson(result: DataFrame, index: IndexBundle, id_cols=("url",)) -> DataFrame:
+    """Attach a GeoJSON Feature string per hit row — closed polygon ring
+    rebuilt from the feature geometry like the reference's WithinHandler
+    (server/http.go:123, geom.NewPolygonFlat). Adds the engine's
+    provenance properties insided_fid/insided_loop_index
+    (gen/go/insidesvc/v1/prop.go:4-8 analog)."""
+    spark = result.sparkSession
+    rows = index.features.select("feature_id", "loop_pos", "ring", "properties").collect()
+    geo = {
+        (r["feature_id"], r["loop_pos"]): (
+            [[float(v[0]), float(v[1])] for v in r["ring"]],
+            dict(r["properties"] or {}),
+        )
+        for r in rows
+    }
+    bc = spark.sparkContext.broadcast(geo)
+
+    @F.pandas_udf(StringType())
+    def feat_json(fid, pos):
+        import json
+
+        import pandas as pd
+
+        g = bc.value
+        out = []
+        for f, p in zip(fid, pos):
+            ring, props = g[(int(f), int(p))]
+            if ring[0] != ring[-1]:
+                ring = ring + [ring[0]]
+            props = dict(props)
+            props["insided_fid"] = int(f)
+            props["insided_loop_index"] = int(p)
+            out.append(
+                json.dumps(
+                    {
+                        "type": "Feature",
+                        "properties": props,
+                        "geometry": {"type": "Polygon", "coordinates": [ring]},
+                    }
+                )
+            )
+        return pd.Series(out)
+
+    return result.withColumn("feature_geojson", feat_json(F.col("feature_id"), F.col("loop_pos")))
+
+
+def write_results(result: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """Parquet sink; `properties` map flattened to JSON for portability."""
+    out = result
+    if "properties" in out.columns:
+        out = out.withColumn("properties", F.to_json("properties"))
+    w = out.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
