@@ -170,7 +170,7 @@ def _q_s2_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = knn_cell_join(
-        _points(spark, sf_dir), _targets(spark, sf_dir), k=3, res=5,
+        _points(spark, sf_dir), _targets(spark, sf_dir), k=3,
         id_col="point_id", target_id_col="target_id",
     )
     return res.select("point_id", "target_id", "dist_sq", F.col("rank").cast("int").alias("rank"))

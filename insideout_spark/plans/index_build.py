@@ -74,6 +74,28 @@ class IndexBundle:
     features: DataFrame
     cell_index: DataFrame
     manifest: dict = field(default_factory=dict)
+    _rings_bc: object = None
+
+    def rings_broadcast(self):
+        """Broadcast {(fid, pos): ring ndarray}, hydrated once per index
+        — the reference's startup index hydration / feature cache
+        (server/server.go:73-108, 118-156). Cached so repeated queries
+        don't re-collect geometry."""
+        if self._rings_bc is None:
+            import numpy as np
+
+            from ..geo import pip as geo_pip
+
+            spark = self.features.sparkSession
+            rows = self.features.select("feature_id", "loop_pos", "ring").collect()
+            rings = {
+                (r["feature_id"], r["loop_pos"]): geo_pip.normalize_ring(
+                    np.asarray(r["ring"], dtype=np.float64)
+                )
+                for r in rows
+            }
+            self._rings_bc = spark.sparkContext.broadcast(rings)
+        return self._rings_bc
 
 
 def features_df(spark: SparkSession, loop_rows) -> DataFrame:

@@ -114,17 +114,45 @@ def _explode_ring_cells(targets: DataFrame, res: int, r: int, target_id_col: str
     )
 
 
+def _auto_res(targets: DataFrame, k: int) -> int:
+    """Pick the grid resolution so a cell holds ~max(8, 2k) targets:
+    fine enough that ring-0 joins stay small, coarse enough that a few
+    rings find k neighbors. One cheap aggregate over the (small) target
+    side."""
+    row = targets.agg(
+        F.count("*").alias("n"),
+        F.min("lat").alias("lat0"),
+        F.max("lat").alias("lat1"),
+        F.min("lng").alias("lng0"),
+        F.max("lng").alias("lng1"),
+    ).first()
+    n = max(int(row["n"]), 1)
+    per_cell = max(8, 2 * k)
+    want_cells = max(n / per_cell, 1.0)
+    dlng = max(float(row["lng1"] - row["lng0"]), 1e-9)
+    dlat = max(float(row["lat1"] - row["lat0"]), 1e-9)
+    for res in range(0, geo_grid.MAX_RES + 1):
+        cells = max(dlng / geo_grid.cell_width(res), 1.0) * max(
+            dlat / geo_grid.cell_height(res), 1.0
+        )
+        if cells >= want_cells:
+            return res
+    return geo_grid.MAX_RES
+
+
 def knn_cell_join(
     points: DataFrame,
     targets: DataFrame,
     k: int,
-    res: int = 5,
+    res: int | None = None,
     id_col: str = "point_id",
     target_id_col: str = "target_id",
     max_rings: int | None = None,
 ) -> DataFrame:
     """Exact kNN via iterative cell-ring expansion; returns
     (id, target_id, dist_sq, rank) identical to `knn_brute`."""
+    if res is None:
+        res = _auto_res(targets, k)
     n = 1 << res
     guarantee_step = min(geo_grid.cell_width(res), geo_grid.cell_height(res))
     max_rings = max_rings if max_rings is not None else n  # full sweep worst case

@@ -41,45 +41,6 @@ from ..geo import pip as geo_pip
 from .index_build import IndexBundle
 
 
-def _rings_broadcast(index: IndexBundle):
-    """Broadcast {(fid, pos): ring ndarray} — the reference's in-memory
-    feature store / ristretto cache analog (server/server.go:118-156)."""
-    spark = index.features.sparkSession
-    rows = index.features.select("feature_id", "loop_pos", "ring").collect()
-    rings = {
-        (r["feature_id"], r["loop_pos"]): geo_pip.normalize_ring(
-            np.asarray(r["ring"], dtype=np.float64)
-        )
-        for r in rows
-    }
-    return spark.sparkContext.broadcast(rings)
-
-
-def _pip_filter_broadcast(candidates: DataFrame, rings_bc, lat_col: str, lng_col: str) -> DataFrame:
-    """Keep candidate rows passing the exact open-boundary PIP test
-    (reference server/server.go:246-249), vectorized per (fid,pos) group
-    within each Arrow batch."""
-
-    def run(batches):
-        rings = rings_bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf
-                continue
-            pdf = pdf.reset_index(drop=True)
-            keep = np.zeros(len(pdf), dtype=bool)
-            for (fid, pos), idx in pdf.groupby(["feature_id", "loop_pos"]).indices.items():
-                ring = rings.get((int(fid), int(pos)))
-                if ring is None or len(ring) < 3:
-                    continue
-                keep[idx] = geo_pip.points_in_ring(
-                    pdf[lng_col].to_numpy()[idx], pdf[lat_col].to_numpy()[idx], ring
-                )
-            yield pdf[keep]
-
-    return candidates.mapInPandas(run, schema=candidates.schema)
-
-
 def _fused_stab(joined: DataFrame, rings_bc, id_cols, lat_col: str, lng_col: str) -> DataFrame:
     """Single-pass dedup + interior short-circuit + exact-PIP residue.
 
@@ -102,31 +63,49 @@ def _fused_stab(joined: DataFrame, rings_bc, id_cols, lat_col: str, lng_col: str
         carry = None
 
         def process(pdf):
+            # pure-numpy group math (pandas string groupby was the hot
+            # spot): consecutive-run ids for the point key + packed
+            # (run, fid, pos) int64 group keys + reduceat aggregation
             pdf = pdf.reset_index(drop=True)
+            n = len(pdf)
             lats = pdf[lat_col].to_numpy()
             lngs = pdf[lng_col].to_numpy()
-            sure = (
-                pdf.groupby(key + ["feature_id", "loop_pos"], sort=False)["is_interior"]
-                .transform("max")
-                .to_numpy()
-            )
-            first = ~pdf.duplicated(key + ["feature_id", "loop_pos"]).to_numpy()
-            keep = first & sure
+            fid = pdf["feature_id"].to_numpy().astype(np.int64)
+            pos = pdf["loop_pos"].to_numpy().astype(np.int64)
+            isint = pdf["is_interior"].to_numpy().astype(np.int8)
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for c in key:
+                arr = pdf[c].to_numpy()
+                change[1:] |= arr[1:] != arr[:-1]
+            run_id = np.cumsum(change) - 1
+            # layout: run(23b) | fid(25b) | pos(16b) — batches are <2^23
+            # rows; supports 33M features / 65k loops per feature
+            packed = (run_id << np.int64(41)) | (fid << np.int64(16)) | pos
+            order = np.argsort(packed, kind="stable")
+            sp = packed[order]
+            starts = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]])
+            rep = order[starts]  # one representative row per group
+            sure = np.maximum.reduceat(isint[order], starts).astype(bool)
+            keep = sure.copy()
             # exact test only for the non-sure residue, grouped per loop
-            resid = first & ~sure
-            if resid.any():
-                rdf = pdf[resid]
-                ridx = np.flatnonzero(resid)
-                for (fid, pos), gidx in rdf.groupby(
-                    ["feature_id", "loop_pos"]
-                ).indices.items():
-                    ring = rings.get((int(fid), int(pos)))
+            resid = np.flatnonzero(~sure)
+            if len(resid):
+                fp = (fid[rep[resid]] << np.int64(16)) | pos[rep[resid]]
+                fo = np.argsort(fp, kind="stable")
+                fps = fp[fo]
+                fstarts = np.flatnonzero(np.r_[True, fps[1:] != fps[:-1]])
+                for si, gstart in enumerate(fstarts):
+                    gend = fstarts[si + 1] if si + 1 < len(fstarts) else len(fo)
+                    gsel = resid[fo[gstart:gend]]
+                    f, p = int(fps[gstart] >> 16), int(fps[gstart] & 0xFFFF)
+                    ring = rings.get((f, p))
                     if ring is None or len(ring) < 3:
                         continue
-                    rows = ridx[gidx]
-                    inside = geo_pip.points_in_ring(lngs[rows], lats[rows], ring)
-                    keep[rows] = inside
-            out = pdf[keep][cols].copy()
+                    rows = rep[gsel]
+                    keep[gsel] = geo_pip.points_in_ring(lngs[rows], lats[rows], ring)
+            sel = rep[keep]
+            out = pdf.iloc[sel][cols].copy()
             out["is_sure_hit"] = sure[keep]
             return out
 
@@ -225,8 +204,7 @@ def pip_join(
         # (reference A2 dedup storage.go:243,284 + J5 anti-join
         # treeindex:79-91 + P3 exact test server.go:246-249)
         joined = pts.join(F.broadcast(cell_index), "cell_id", "inner")
-        rings_bc = _rings_broadcast(index)
-        result = _fused_stab(joined, rings_bc, id_cols, lat_col, lng_col)
+        result = _fused_stab(joined, index.rings_broadcast(), id_cols, lat_col, lng_col)
     else:
         s = int(salt_buckets or 8)
         salted_index = cell_index.withColumn(
