@@ -353,6 +353,22 @@ def tokens(cell_ids):
     return [token(c) for c in np.asarray(cell_ids, dtype=np.uint64).ravel()]
 
 
+def fij_keys(cell_id):
+    """Join keys for the JVM stab path: injective encoding of each cell
+    as (face, i>>s, j>>s, level) — see functions/s2_expr.py for the
+    Catalyst twin. Valid for levels <= 28."""
+    cell_id = np.asarray(cell_id, dtype=np.uint64)
+    face, i, j, _ = to_face_ij(cell_id)
+    lvl = level(cell_id)
+    s = (MAX_LEVEL - lvl).astype(np.int64)
+    return (
+        (np.asarray(face, dtype=np.int64) << np.int64(61))
+        | (lvl.astype(np.int64) << np.int64(56))
+        | ((i >> s) << np.int64(28))
+        | (j >> s)
+    )
+
+
 def to_signed(cell_id):
     """Reinterpret uint64 ids as int64 (bit-identical) for Spark LongType."""
     return np.asarray(cell_id, dtype=np.uint64).view(np.int64)

@@ -57,6 +57,9 @@ FEATURES_SCHEMA = StructType(
 CELL_INDEX_SCHEMA = StructType(
     [
         StructField("cell_id", LongType(), False),
+        # injective (face, i>>s, j>>s, level) join key for the JVM stab
+        # path (functions/s2_expr.py) — same cell, different encoding
+        StructField("fij_key", LongType(), False),
         StructField("is_interior", BooleanType(), False),
         StructField("feature_id", IntegerType(), False),
         StructField("loop_pos", IntegerType(), False),
@@ -97,6 +100,76 @@ class IndexBundle:
             self._rings_bc = spark.sparkContext.broadcast(rings)
         return self._rings_bc
 
+    def edges(self) -> DataFrame:
+        """Ring edges as a DataFrame (feature_id, loop_pos, x1, y1, x2,
+        y2) — the geometry operand of the JVM ray-cast (plans/pip_join
+        strategy 'jvm'). Built distributed once per index; the closing
+        vertex is dropped like reference tools.go:145-148."""
+        if getattr(self, "_edges_df", None) is None:
+
+            def explode_edges(batches):
+                import numpy as np
+                import pandas as pd
+
+                from ..geo import pip as geo_pip
+
+                for pdf in batches:
+                    out = {"feature_id": [], "loop_pos": [], "x1": [], "y1": [], "x2": [], "y2": []}
+                    for fid, pos, ring in zip(pdf["feature_id"], pdf["loop_pos"], pdf["ring"]):
+                        r = geo_pip.normalize_ring(
+                            np.asarray([[v[0], v[1]] for v in ring], dtype=np.float64)
+                        )
+                        if len(r) < 3:
+                            continue
+                        x1 = r[:, 0]
+                        y1 = r[:, 1]
+                        x2 = np.roll(x1, -1)
+                        y2 = np.roll(y1, -1)
+                        out["feature_id"].extend([int(fid)] * len(r))
+                        out["loop_pos"].extend([int(pos)] * len(r))
+                        out["x1"].extend(x1)
+                        out["y1"].extend(y1)
+                        out["x2"].extend(x2)
+                        out["y2"].extend(y2)
+                    yield pd.DataFrame(out)
+
+            df = self.features.select("feature_id", "loop_pos", "ring").mapInPandas(
+                explode_edges,
+                schema="feature_id int, loop_pos int, x1 double, y1 double, x2 double, y2 double",
+            )
+            self._edges_df = df.cache()
+            self._edges_df.count()
+        return self._edges_df
+
+    def stab_broadcast(self):
+        """Broadcast the stab-ready index: cell ids sorted for binary
+        search (the bbolt B+tree / insidetree analog — reference
+        storage/bbolt/storage.go:246-269 range scan, index/treeindex
+        trie) as parallel numpy arrays, plus the ring store. Hydrated
+        once per index."""
+        if getattr(self, "_stab_bc", None) is None:
+            import numpy as np
+
+            rows = self.cell_index.collect()
+            cells = np.array([r["cell_id"] for r in rows], dtype=np.int64)
+            isint = np.array([r["is_interior"] for r in rows], dtype=bool)
+            fid = np.array([r["feature_id"] for r in rows], dtype=np.int32)
+            pos = np.array([r["loop_pos"] for r in rows], dtype=np.int32)
+            # sort in UNSIGNED cell-id order (the searchsorted key space)
+            o = np.argsort(cells.view(np.uint64), kind="stable")
+            payload = (
+                cells[o],
+                isint[o],
+                fid[o],
+                pos[o],
+                self.rings_broadcast().value,
+                int(self.manifest["min_cover_level"]),
+                int(self.manifest["max_cover_level"]),
+            )
+            spark = self.features.sparkSession
+            self._stab_bc = spark.sparkContext.broadcast(payload)
+        return self._stab_bc
+
 
 def features_df(spark: SparkSession, loop_rows) -> DataFrame:
     """Loop rows (from geo.geojson.parse_feature_collection) -> features DataFrame."""
@@ -128,7 +201,13 @@ def build_cell_index(
         import pandas as pd
 
         for pdf in batches:
-            out = {"cell_id": [], "is_interior": [], "feature_id": [], "loop_pos": []}
+            out = {
+                "cell_id": [],
+                "fij_key": [],
+                "is_interior": [],
+                "feature_id": [],
+                "loop_pos": [],
+            }
             for fid, pos, ring in zip(pdf["feature_id"], pdf["loop_pos"], pdf["ring"]):
                 ring = np.asarray([[v[0], v[1]] for v in ring], dtype=np.float64)
                 if len(ring) < 4:  # loop-validity filter (reference tools.go:122-124)
@@ -137,16 +216,15 @@ def build_cell_index(
                 # cover-size guard (reference storage/bbolt/storage.go:363-370)
                 if len(outside_cells) > guard or len(inside_cells) > guard:
                     continue
-                for c in inside_cells:
-                    out["cell_id"].append(int(geo_s2.to_signed(np.array([c]))[0]))
-                    out["is_interior"].append(True)
-                    out["feature_id"].append(int(fid))
-                    out["loop_pos"].append(int(pos))
-                for c in outside_cells:
-                    out["cell_id"].append(int(geo_s2.to_signed(np.array([c]))[0]))
-                    out["is_interior"].append(False)
-                    out["feature_id"].append(int(fid))
-                    out["loop_pos"].append(int(pos))
+                for cells, is_int in ((inside_cells, True), (outside_cells, False)):
+                    if not cells:
+                        continue
+                    arr = np.array(cells, dtype=np.uint64)
+                    out["cell_id"].extend(int(v) for v in geo_s2.to_signed(arr))
+                    out["fij_key"].extend(int(v) for v in geo_s2.fij_keys(arr))
+                    out["is_interior"].extend([is_int] * len(cells))
+                    out["feature_id"].extend([int(fid)] * len(cells))
+                    out["loop_pos"].extend([int(pos)] * len(cells))
             yield pd.DataFrame(out)
 
     return features.select("feature_id", "loop_pos", "ring").mapInPandas(

@@ -99,6 +99,45 @@ def france_rects_loops(n: int = 16):
     return rows
 
 
+def synth_communes_loops(n: int = 400, vertices: int = 48):
+    """Deterministic communes-like layer: n wobbly polygons (48 vertices
+    each) tiling the reference loadtester's France bbox — a synthetic
+    stand-in for the fr-communes dataset the reference benchmarks
+    against (README.md:93-95). Non-overlapping wobbled radial polygons
+    on a grid; admin_level 8 like French communes."""
+    import math
+
+    lat0, lat1, lng0, lng1 = 46.63, 49.10, -1.10, 5.5
+    cols = int(math.sqrt(n * (lng1 - lng0) / (lat1 - lat0)))
+    rows_n = (n + cols - 1) // cols
+    dlng = (lng1 - lng0) / cols
+    dlat = (lat1 - lat0) / rows_n
+    out = []
+    for fid in range(n):
+        r, c = divmod(fid, cols)
+        cy = lat0 + (r + 0.5) * dlat
+        cx = lng0 + (c + 0.5) * dlng
+        ring = []
+        for k in range(vertices):
+            ang = 2.0 * math.pi * k / vertices
+            # deterministic wobble: radius 55-80% of the half-cell
+            wob = 0.55 + 0.25 * (0.5 + 0.5 * math.sin(7 * ang + fid))
+            ring.append(
+                [cx + 0.5 * dlng * wob * math.cos(ang), cy + 0.5 * dlat * wob * math.sin(ang)]
+            )
+        ring.append(list(ring[0]))
+        out.append(
+            {
+                "feature_id": fid,
+                "loop_pos": 0,
+                "ring": ring,
+                "properties": {"name": f"commune-{fid:04d}", "admin_level": "8"},
+                "admin_level": 8.0,
+            }
+        )
+    return out
+
+
 def rects_sql_predicates(loop_rows):
     """For rectangle fixtures: list of (feature_id, loop_pos, lng0, lng1,
     lat0, lat1) — lets the DuckDB oracle express PIP as ANSI range

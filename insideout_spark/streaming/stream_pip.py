@@ -30,7 +30,11 @@ def stream_pip_join(pages_stream: DataFrame, index: IndexBundle) -> DataFrame:
     """Streaming DataFrame of stab-join hits — same operator graph as the
     batch flagship."""
     points = extract_points(pages_stream)
-    return pip_join(points, index, include_properties=False)
+    # strategy="fused" is the streaming-correct path: it is a stateless
+    # per-batch operator (no aggregation), so append mode needs no
+    # watermark; the default "jvm" strategy folds the stab into an
+    # aggregation, which streaming append mode rejects
+    return pip_join(points, index, include_properties=False, strategy="fused")
 
 
 def run_stream(
