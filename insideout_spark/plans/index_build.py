@@ -63,6 +63,12 @@ CELL_INDEX_SCHEMA = StructType(
         StructField("is_interior", BooleanType(), False),
         StructField("feature_id", IntegerType(), False),
         StructField("loop_pos", IntegerType(), False),
+        # loop bbox (denormalized): prunes far-away candidate rows
+        # before the edge join's x|ring| expansion
+        StructField("bb_lng0", DoubleType(), False),
+        StructField("bb_lat0", DoubleType(), False),
+        StructField("bb_lng1", DoubleType(), False),
+        StructField("bb_lat1", DoubleType(), False),
     ]
 )
 
@@ -207,6 +213,10 @@ def build_cell_index(
                 "is_interior": [],
                 "feature_id": [],
                 "loop_pos": [],
+                "bb_lng0": [],
+                "bb_lat0": [],
+                "bb_lng1": [],
+                "bb_lat1": [],
             }
             for fid, pos, ring in zip(pdf["feature_id"], pdf["loop_pos"], pdf["ring"]):
                 ring = np.asarray([[v[0], v[1]] for v in ring], dtype=np.float64)
@@ -216,6 +226,12 @@ def build_cell_index(
                 # cover-size guard (reference storage/bbolt/storage.go:363-370)
                 if len(outside_cells) > guard or len(inside_cells) > guard:
                     continue
+                bb = (
+                    float(ring[:, 0].min()),
+                    float(ring[:, 1].min()),
+                    float(ring[:, 0].max()),
+                    float(ring[:, 1].max()),
+                )
                 for cells, is_int in ((inside_cells, True), (outside_cells, False)):
                     if not cells:
                         continue
@@ -225,6 +241,10 @@ def build_cell_index(
                     out["is_interior"].extend([is_int] * len(cells))
                     out["feature_id"].extend([int(fid)] * len(cells))
                     out["loop_pos"].extend([int(pos)] * len(cells))
+                    out["bb_lng0"].extend([bb[0]] * len(cells))
+                    out["bb_lat0"].extend([bb[1]] * len(cells))
+                    out["bb_lng1"].extend([bb[2]] * len(cells))
+                    out["bb_lat1"].extend([bb[3]] * len(cells))
             yield pd.DataFrame(out)
 
     return features.select("feature_id", "loop_pos", "ring").mapInPandas(

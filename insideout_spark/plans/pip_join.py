@@ -4,30 +4,31 @@ Reference lifecycle (server/server.go:159-310): point -> leaf cell ->
 ancestor lookup in the 'I' (interior) and 'O' (exterior) cell postings
 -> sure hits skip geometry, candidates run exact Loop.ContainsPoint.
 
-Spark-first re-expression (SURVEY.md §3.1/§4):
+Spark-first re-expression (SURVEY.md §3.1/§4), default "jvm" strategy —
+the entire flagship stays inside whole-stage codegen:
 
-    points --extract/leaf-cell (pandas UDF)-->
-           --explode ancestors [min..max level] (JVM bit math)-->
-           --broadcast hash join vs cell_index-->
-           --groupBy(point, fid, pos) max(is_interior)  [= dedup A2 + anti-join J5]-->
-           --is_sure? emit : vectorized ray-cast PIP (mapInPandas)-->
+    points --(face,i,j) projection + ancestor fij keys (Catalyst)-->
+           --explode + broadcast hash join vs cell_index-->
+           --bbox prune--> --left join loop edges (broadcast)-->
+           --ONE aggregation: dedup (A2) + interior precedence (J5)
+             + even-odd crossing count + on-edge detection (P3)-->
            --broadcast join features (properties)-->
 
-Two physical paths, mirroring the reference's strategy knob
-(server/server.go:73-108):
+No python on the hot path at all: the Arrow JVM<->Python transport was
+measured to be a globally-serialized bottleneck on this class of
+machine, so even the exact ray cast runs as Catalyst arithmetic over an
+edge join, folded into the same map-combinable aggregation that does
+the dedup. One shuffle total, of ~output-sized partial aggregates.
 
-* **broadcast** (default): the cell index is broadcast; the probe side
-  streams with NO shuffle before the join — at 10^12 pages this is one
-  scan + map-side join. Skew is irrelevant to the join itself.
-* **shuffle+salt** (`broadcast_index=False`): for polygon layers too big
-  to broadcast; the join shuffles on cell_id, so hot cells (dense
-  cities) are salted: index rows replicated x `salt_buckets`, probe rows
-  pick pmod(xxhash64(point), S) — explicit skew handling per the north
-  rule, on top of AQE skew-join splitting.
+Alternative physical strategies (the reference's db/tree/shape knob
+analog, server/server.go:73-108):
 
-The exact-PIP residue runs in `mapInPandas` over Arrow batches, grouped
-by (feature_id, loop_pos) inside each batch and ray-cast with numpy —
-no per-row Python anywhere.
+* "fused": the whole stab in ONE Arrow pass with a broadcast
+  searchsorted cell index + numpy ray cast — stateless, so it is the
+  streaming path; also the fastest single-pass form at low parallelism.
+* "salted": shuffled hash join on the stab key with explicit xS salt
+  replication for polygon layers too large to broadcast (hot-cell skew
+  handling per the north rule, on top of AQE skew-join splitting).
 """
 
 from __future__ import annotations
@@ -148,58 +149,6 @@ def _fused_stab(points: DataFrame, stab_bc, id_cols, lat_col: str, lng_col: str)
     return points.select(*key, lat_col, lng_col).mapInPandas(run, schema=out_schema)
 
 
-def _pip_filter_with_ring_col(candidates: DataFrame, lat_col: str, lng_col: str) -> DataFrame:
-    """Fully distributed PIP for the shuffle path: the ring travels as a
-    column (joined from features), so no driver collect / broadcast of
-    geometry is needed at any polygon-layer size."""
-
-    def run(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf.drop(columns=["ring"])
-                continue
-            pdf = pdf.reset_index(drop=True)
-            keep = np.zeros(len(pdf), dtype=bool)
-            for (fid, pos), idx in pdf.groupby(["feature_id", "loop_pos"]).indices.items():
-                ring = geo_pip.normalize_ring(
-                    np.asarray([[v[0], v[1]] for v in pdf["ring"].iloc[idx[0]]], dtype=np.float64)
-                )
-                if len(ring) < 3:
-                    continue
-                keep[idx] = geo_pip.points_in_ring(
-                    pdf[lng_col].to_numpy()[idx], pdf[lat_col].to_numpy()[idx], ring
-                )
-            yield pdf[keep].drop(columns=["ring"])
-
-    out_schema = candidates.drop("ring").schema
-    return candidates.mapInPandas(run, schema=out_schema)
-
-
-def _pip_residue_broadcast(candidates: DataFrame, rings_bc, lat_col, lng_col) -> DataFrame:
-    """Exact open-boundary PIP filter over candidate rows (reference
-    server/server.go:246-249), vectorized per loop within each Arrow
-    batch; only candidates — a small fraction of points — ever cross
-    the JVM<->Python boundary."""
-
-    def run(batches):
-        rings = rings_bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf
-                continue
-            pdf = pdf.reset_index(drop=True)
-            keep = np.zeros(len(pdf), dtype=bool)
-            lngs = pdf[lng_col].to_numpy()
-            lats = pdf[lat_col].to_numpy()
-            for (fid, pos), idx in pdf.groupby(["feature_id", "loop_pos"]).indices.items():
-                ring = rings.get((int(fid), int(pos)))
-                if ring is None or len(ring) < 3:
-                    continue
-                keep[idx] = geo_pip.points_in_ring(lngs[idx], lats[idx], ring)
-            yield pdf[keep]
-
-    return candidates.mapInPandas(run, schema=candidates.schema)
-
 
 def pip_join(
     points: DataFrame,
@@ -251,7 +200,10 @@ def pip_join(
         keyed = with_fij_keys(
             pts.select(*id_cols, lat_col, lng_col), lat_col, lng_col, min_l, max_l
         )
-        idx_cols = ["fij_key", "is_interior", "feature_id", "loop_pos"]
+        idx_cols = [
+            "fij_key", "is_interior", "feature_id", "loop_pos",
+            "bb_lng0", "bb_lat0", "bb_lng1", "bb_lat1",
+        ]
         if strategy == "jvm":
             joined = keyed.join(
                 F.broadcast(index.cell_index.select(*idx_cols)), "fij_key", "inner"
@@ -274,6 +226,18 @@ def pip_join(
         # Interior matches keep a NULL edge via the left join, so the
         # whole flagship is JVM-only: no Arrow transport on the hot path,
         # one shuffle of ~output-sized partial aggregates.
+        # bbox prune: an exterior-cover match whose point lies outside the
+        # loop's bbox can never be inside — drop it before the edge
+        # expansion (>=/<= keeps on-hull points for the on_edge logic)
+        joined = joined.filter(
+            F.col("is_interior")
+            | (
+                (F.col(lng_col) >= F.col("bb_lng0"))
+                & (F.col(lng_col) <= F.col("bb_lng1"))
+                & (F.col(lat_col) >= F.col("bb_lat0"))
+                & (F.col(lat_col) <= F.col("bb_lat1"))
+            )
+        ).drop("bb_lng0", "bb_lat0", "bb_lng1", "bb_lat1")
         edges = index.edges()
         ecols = [F.col(c) for c in ("x1", "y1", "x2", "y2")]
         joined = joined.join(
