@@ -130,6 +130,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return res.select("point_id", "feature_id", "loop_pos", "is_sure_hit", "admin_level")
 
 
+def _island_index(spark: SparkSession):
+    """The reference test fixture index (index/testdata/poly.geojson with
+    the exact coverer params of index/treeindex/index_test.go:120-129)."""
+    key = ("island", id(spark.sparkContext))
+    if key not in _INDEX_CACHE:
+        from insideout_spark.sources.polygons import load_geojson_loops
+
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "golden", "houat.geojson")
+        _INDEX_CACHE[key] = build_index(
+            spark, load_geojson_loops(path),
+            CoverParams(10, 16, 24), CoverParams(10, 15, 16),
+            warning_cells_cover=100,
+        )
+    return _INDEX_CACHE[key]
+
+
+def _q_golden_stab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's six golden stab cases end-to-end (pages synth ->
+    extraction -> dual-cover stab join). The oracle is the LITERAL
+    expected result from index/{treeindex,dbindex,shapeindex}/
+    index_test.go — driver-verified fixture parity."""
+    from insideout_spark.sources.pages import extract_points, synth_pages
+
+    pts = extract_points(synth_pages(spark, 6, partitions=2))
+    res = pip_join(pts, _island_index(spark), id_cols=("url",),
+                   include_properties=False)
+    return res.select("url", "feature_id", "loop_pos", "is_sure_hit")
+
+
 def _q_pip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = pip_join(
         _points(spark, sf_dir), _rect_index(spark), id_cols=("point_id",),
@@ -225,6 +255,7 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "golden_stab_cases": _q_golden_stab,
         "pip_rect_join": _q_pip_rect,
         "pip_count_by_feature": _q_pip_count,
         "pip_stop_on_first": _q_stop_first,
@@ -265,6 +296,16 @@ def oracle_sql() -> dict[str, str]:
     fr = " + ".join(_sql_word_hits(w) for w in webtext.FR_STOPWORDS)
     en = " + ".join(_sql_word_hits(w) for w in webtext.EN_STOPWORDS)
     return {
+        # literal goldens from the reference's strategy test suites:
+        # rows 0,1,4 contain (fid 0, pos 1); row 1 via the interior
+        # cover (sure), rows 0 and 4 via exact PIP; rows 2,3,5 miss
+        "golden_stab_cases": (
+            "SELECT * FROM (VALUES "
+            "('https://example.org/00000000', 0, 1, false), "
+            "('https://example.org/00000001', 0, 1, true), "
+            "('https://example.org/00000004', 0, 1, false)"
+            ") AS t(url, feature_id, loop_pos, is_sure_hit)"
+        ),
         "pip_rect_join": pip_core,
         "pip_count_by_feature": (
             f"SELECT feature_id, CAST(count(*) AS BIGINT) AS n_points FROM ({pip_core}) "
