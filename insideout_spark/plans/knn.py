@@ -140,6 +140,25 @@ def _auto_res(targets: DataFrame, k: int) -> int:
     return geo_grid.MAX_RES
 
 
+def knn_join(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int,
+    id_col: str = "point_id",
+    target_id_col: str = "target_id",
+    strategy: str = "auto",
+    broadcast_limit: int = 200_000,
+) -> DataFrame:
+    """Strategy-selecting kNN (the engine's AQE-style physical choice):
+    small target sets -> vectorized brute force (no shuffle at all);
+    large -> cell-ring expansion. Both return identical rows."""
+    if strategy == "auto":
+        strategy = "brute" if targets.count() <= broadcast_limit else "cells"
+    if strategy == "brute":
+        return knn_brute(points, targets, k, id_col, target_id_col)
+    return knn_cell_join(points, targets, k, id_col=id_col, target_id_col=target_id_col)
+
+
 def knn_cell_join(
     points: DataFrame,
     targets: DataFrame,
