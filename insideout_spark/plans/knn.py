@@ -80,20 +80,21 @@ def knn_brute(
     return points.select(id_col, "lat", "lng").mapInPandas(run, schema=schema)
 
 
-def _explode_ring_cells(targets: DataFrame, res: int, r: int, target_id_col: str) -> DataFrame:
-    """Targets -> one row per ring-r grid cell around each target's cell.
-    Offsets are a literal array (JVM explode); cell recombination is
-    pure arithmetic with lng wrap and lat clamp."""
+def _explode_ring_cells(
+    targets: DataFrame, res: int, r: int, target_id_col: str, r_from: int | None = None
+) -> DataFrame:
+    """Targets -> one row per grid cell at Chebyshev distance in
+    [r_from, r] around each target's cell (a ring when r_from is None->r,
+    a disk when r_from=0). Offsets are a literal array (JVM explode);
+    cell recombination is pure arithmetic with lng wrap and lat clamp."""
     n = 1 << res
-    if r == 0:
-        offs = [(0, 0)]
-    else:
-        offs = [
-            (dx, dy)
-            for dx in range(-r, r + 1)
-            for dy in range(-r, r + 1)
-            if max(abs(dx), abs(dy)) == r
-        ]
+    lo = r if r_from is None else r_from
+    offs = [
+        (dx, dy)
+        for dx in range(-r, r + 1)
+        for dy in range(-r, r + 1)
+        if lo <= max(abs(dx), abs(dy)) <= r
+    ]
     t = targets.withColumn("__cell", grid_cell_expr("lat", "lng", res))
     rem = F.col("__cell") % geo_grid.RES_MULT
     t = t.withColumn("__x", (rem / geo_grid.X_MULT).cast("long")).withColumn(
@@ -181,9 +182,20 @@ def knn_cell_join(
     )
     active = pts
     acc = None
+    # first probe covers disk(1) in ONE join so the common case resolves
+    # in a single round instead of two (each round costs Spark actions);
+    # disk(2) was measured to overshoot (25 offsets x targets inflates
+    # the ranking window's input more than a round saves)
+    initial_disk = 1
     r = 0
     while r <= max_rings:
-        ring_cells = _explode_ring_cells(targets, res, r, target_id_col)
+        if r == 0:
+            ring_cells = _explode_ring_cells(
+                targets, res, min(initial_disk, max_rings), target_id_col, r_from=0
+            )
+            r = min(initial_disk, max_rings)
+        else:
+            ring_cells = _explode_ring_cells(targets, res, r, target_id_col)
         cand = active.join(F.broadcast(ring_cells), "cell_id", "inner").select(
             id_col,
             "lat",
