@@ -283,6 +283,36 @@ def cover_ring(ring, params: CoverParams, interior: bool):
     return _coarsen_covering(out, params.min_level, params.max_cells)
 
 
+def auto_cover_params(loop_rows, max_cells: int = 32):
+    """Pick (interior, exterior) CoverParams from the polygon sizes, the
+    way the reference picks indexer flags per dataset (communes: levels
+    10-16, countries: 4-10 — cmd/indexer/main.go:61-67, Makefile:50-53):
+    min_level ~ the cell size of the median loop's bbox diagonal,
+    max_level 3 levels finer (interior one more for a tighter
+    short-circuit region)."""
+    import math
+
+    diags = []
+    for r in loop_rows:
+        ring = np.asarray(r["ring"], dtype=np.float64)
+        dx = float(ring[:, 0].max() - ring[:, 0].min())
+        dy = float(ring[:, 1].max() - ring[:, 1].min())
+        diags.append(math.hypot(dx, dy))
+    if not diags:
+        return (
+            CoverParams(*DEFAULT_INTERIOR),
+            CoverParams(*DEFAULT_EXTERIOR),
+        )
+    med = sorted(diags)[len(diags) // 2]
+    # S2 level whose cell edge (~90deg / 2^level on a face) matches med
+    lvl = int(np.clip(round(math.log2(90.0 / max(med, 1e-6))), 0, 18))
+    min_l = max(lvl - 1, 0)
+    return (
+        CoverParams(min_l, min(min_l + 4, s2.MAX_LEVEL), max_cells * 2),
+        CoverParams(min_l, min(min_l + 3, s2.MAX_LEVEL), max_cells),
+    )
+
+
 def dual_cover(ring, interior_params: CoverParams, exterior_params: CoverParams):
     """(interior_cells, exterior_cells) for one ring — the reference's
     per-loop `CellsIn` / `CellsOut` (storage.go:34-40)."""

@@ -276,12 +276,19 @@ def make_manifest(
 def build_index(
     spark: SparkSession,
     loop_rows,
-    interior_params: geo_cover.CoverParams = geo_cover.CoverParams(*geo_cover.DEFAULT_INTERIOR),
-    exterior_params: geo_cover.CoverParams = geo_cover.CoverParams(*geo_cover.DEFAULT_EXTERIOR),
+    interior_params: geo_cover.CoverParams | None = None,
+    exterior_params: geo_cover.CoverParams | None = None,
     warning_cells_cover: int = DEFAULT_WARNING_CELLS_COVER,
 ) -> IndexBundle:
     """End-to-end build from parsed loop rows. The cell index is computed
-    once and cached — it is the broadcast side of every stab join."""
+    once and cached — it is the broadcast side of every stab join.
+    Cover params default to `geo.cover.auto_cover_params` (sized from
+    the polygon extents, like the reference's per-dataset indexer
+    flags)."""
+    if interior_params is None or exterior_params is None:
+        auto_i, auto_e = geo_cover.auto_cover_params(loop_rows)
+        interior_params = interior_params or auto_i
+        exterior_params = exterior_params or auto_e
     feats = features_df(spark, loop_rows)
     # polygon layers are small relative to the points side; spread the
     # cover computation (the expensive part) across the cluster

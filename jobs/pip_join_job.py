@@ -41,22 +41,26 @@ def main(argv=None) -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--salt", type=int, default=0, help=">0: shuffle join with salting")
-    ap.add_argument("--min-level", type=int, default=10)
-    ap.add_argument("--max-level", type=int, default=16)
+    ap.add_argument("--min-level", type=int, default=None,
+                    help="cover min level (default: auto from polygon sizes)")
+    ap.add_argument("--max-level", type=int, default=None)
     ap.add_argument("--max-cells", type=int, default=24)
     args = ap.parse_args(argv)
 
     spark = get_spark("pip-join-job")
     loops = load_geojson_loops(args.polygons)
-    index = build_index(
-        spark,
-        loops,
-        CoverParams(args.min_level, args.max_level, args.max_cells),
-        # exterior cover one level coarser, like the reference defaults
-        # (cmd/indexer/main.go:61-67: inside 10-16/24, outside 10-15/16)
-        CoverParams(args.min_level, max(args.min_level, args.max_level - 1),
-                    max(args.max_cells * 2 // 3, 8)),
-    )
+    if args.min_level is None or args.max_level is None:
+        index = build_index(spark, loops)  # auto_cover_params
+    else:
+        index = build_index(
+            spark,
+            loops,
+            CoverParams(args.min_level, args.max_level, args.max_cells),
+            # exterior cover one level coarser, like the reference defaults
+            # (cmd/indexer/main.go:61-67: inside 10-16/24, outside 10-15/16)
+            CoverParams(args.min_level, max(args.min_level, args.max_level - 1),
+                        max(args.max_cells * 2 // 3, 8)),
+        )
 
     if args.pages:
         pages = spark.read.parquet(args.pages)
