@@ -233,6 +233,12 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webtext.ivf_ann(_embs(spark, sf_dir), _ANN_QUERY_IDS, k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.35)
 
@@ -269,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "ann_cosine_top10": _q_ann_topk,
         "ann_lsh_top10": _q_ann_lsh,
+        "ann_ivf_top10": _q_ann_ivf,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash64": _q_simhash,
         "doc_fingerprint": _q_fingerprint,

@@ -157,3 +157,26 @@ def test_real_codec_stub_raises(spark, dup_docs):
     media = synth_media(dup_docs.limit(2))
     with pytest.raises(Exception):  # NotImplementedError inside the UDF
         extract_media_features(media, use_real_codec=True).collect()
+
+
+def test_ivf_ann_recall(spark, embeddings_df):
+    """IVF ANN reaches >=60% recall@10 vs brute force while scanning only
+    n_probe/n_lists of the corpus."""
+    qids = [0, 1, 2, 3, 4]
+    brute = webtext.cosine_topk_brute(embeddings_df, qids, k=10).collect()
+    approx = webtext.ivf_ann(embeddings_df, qids, k=10, n_lists=16, n_probe=6).collect()
+    b, a = {}, {}
+    for r in brute:
+        b.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(a.get(q, set()) & b[q]) / len(b[q]) for q in b]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_ivf_deterministic(spark, embeddings_df):
+    x = {(r["query_id"], r["neighbor_id"], r["rank"])
+         for r in webtext.ivf_ann(embeddings_df, [0, 1], k=5).collect()}
+    y = {(r["query_id"], r["neighbor_id"], r["rank"])
+         for r in webtext.ivf_ann(embeddings_df, [0, 1], k=5).collect()}
+    assert x == y
