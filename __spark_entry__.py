@@ -206,6 +206,16 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("point_id", "target_id", "dist_sq", F.col("rank").cast("int").alias("rank"))
 
 
+def _q_event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 timer-aggregate analog: count/min/max/p50/p99 of event values
+    per type — exact (order-independent) percentile, so the DuckDB
+    quantile_cont oracle reproduces it."""
+    from insideout_spark.plans.metrics import value_stats
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return value_stats(events.select("event_type", "value"), "event_type", "value")
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.exact_dedup_groups(_docs(spark, sf_dir))
 
@@ -269,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cell_bounds": _q_grid_bounds,
         "s2_assign_l10": _q_s2_assign,
         "knn3_cell_join": _q_knn,
+        "event_value_stats": _q_event_value_stats,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
         "lang_guess": _q_lang_guess,
@@ -346,6 +357,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY p.point_id ORDER BY "
             "(p.lat - t.lat) * (p.lat - t.lat) + (p.lng - t.lng) * (p.lng - t.lng), t.target_id) AS INT) AS rank "
             "FROM pts p, tgt t QUALIFY rank <= 3"
+        ),
+        "event_value_stats": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "min(value) AS v_min, max(value) AS v_max, "
+            "quantile_cont(value, 0.5e0) AS p50, "
+            "quantile_cont(value, 0.99e0) AS p99 "
+            "FROM events GROUP BY event_type"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_dups, "

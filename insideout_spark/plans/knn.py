@@ -207,15 +207,21 @@ def knn_cell_join(
             ),
         )
         acc = cand if acc is None else acc.unionByName(cand)
-        acc = acc.localCheckpoint(eager=True)  # cut the iterative lineage
+        # rank once per round, TRIM the accumulator to top-k per point
+        # (rows beyond rank k can never re-enter the result, so the
+        # accumulator stays bounded at k rows/point instead of growing
+        # with every ring), and reuse the same ranking for the
+        # termination check
+        w = Window.partitionBy(id_col).orderBy("dist_sq", target_id_col)
+        ranked = acc.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+        acc = ranked.drop("rank").localCheckpoint(eager=True)  # cut lineage
 
         # a point is done when its k-th best distance beats the guarantee
         g = r * guarantee_step
-        w = Window.partitionBy(id_col).orderBy("dist_sq", target_id_col)
-        ranked = acc.withColumn("rank", F.row_number().over(w))
         kth = (
-            ranked.filter(F.col("rank") == k)
-            .filter(F.col("dist_sq") <= F.lit(g * g))
+            ranked.filter((F.col("rank") == k) & (F.col("dist_sq") <= F.lit(g * g)))
             .select(id_col)
         )
         active = active.join(kth, id_col, "left_anti")
