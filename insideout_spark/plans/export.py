@@ -57,6 +57,27 @@ def results_to_geojson(result: DataFrame, index: IndexBundle, id_cols=("url",)) 
     return result.withColumn("feature_geojson", feat_json(F.col("feature_id"), F.col("loop_pos")))
 
 
+def get_feature(index: IndexBundle, feature_id: int, loop_pos: int = 0) -> dict:
+    """The reference's `Get(id, loop_index)` RPC (server/server.go:312-361)
+    as a lookup: returns {feature_id, loop_pos, ring, properties,
+    admin_level} or raises KeyError. (Note: the reference's Get has a
+    latent nil-deref at server.go:357 and is never exercised by its
+    tests; ours is tested.)"""
+    rows = index.features.filter(
+        (F.col("feature_id") == feature_id) & (F.col("loop_pos") == loop_pos)
+    ).collect()
+    if not rows:
+        raise KeyError((feature_id, loop_pos))
+    r = rows[0]
+    return {
+        "feature_id": r["feature_id"],
+        "loop_pos": r["loop_pos"],
+        "ring": [list(v) for v in r["ring"]],
+        "properties": dict(r["properties"] or {}),
+        "admin_level": r["admin_level"],
+    }
+
+
 def write_results(result: DataFrame, path: str, partition_by: str | None = None) -> None:
     """Parquet sink; `properties` map flattened to JSON for portability."""
     out = result

@@ -71,3 +71,15 @@ def test_h3compat_fallback_grid():
     assert int(cells[0]) in disk and len(disk) == 9
     ring = h3compat.cell_to_boundary(int(cells[0]))
     assert len(ring) == 5 and ring[0] == ring[-1]
+
+
+def test_get_feature(spark, houat_index):
+    from insideout_spark.plans.export import get_feature
+
+    f = get_feature(houat_index, 0, 1)
+    assert f["properties"]["nom"] == "Île-d'Houat"
+    assert len(f["ring"]) == 56  # ring as stored (closing vertex included in source geojson)
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        get_feature(houat_index, 99, 0)
