@@ -317,6 +317,24 @@ def save_index(bundle: IndexBundle, path: str) -> None:
         json.dump(bundle.manifest, f, indent=2)
 
 
+def save_index_bucketed(
+    bundle: IndexBundle, table_name: str, n_buckets: int = 64
+) -> None:
+    """Persist the cell index hash-bucketed by the stab key (Spark
+    bucketing + saveAsTable). For polygon layers too large to broadcast,
+    a probe side repartitioned on `fij_key` then joins the bucketed
+    table WITHOUT shuffling the index side — the co-located-join
+    alternative to salting (north rule: 'bucketing for co-located
+    joins')."""
+    (
+        bundle.cell_index.write.bucketBy(n_buckets, "fij_key")
+        .sortBy("fij_key")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def load_index(spark: SparkSession, path: str) -> IndexBundle:
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)

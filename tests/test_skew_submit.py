@@ -83,3 +83,22 @@ def test_packaged_zip_is_importable(tmp_path):
         capture_output=True, text=True, cwd=str(tmp_path),
     )
     assert out.stdout.strip() == "30", out.stderr
+
+
+def test_bucketed_index_join_no_index_shuffle(spark, houat_index, tmp_path):
+    """A bucketed cell-index table joins on fij_key without an Exchange
+    on the index side (co-located join for non-broadcastable layers)."""
+    from insideout_spark.plans.index_build import save_index_bucketed
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bidx")
+    save_index_bucketed(houat_index, "bidx.cells", n_buckets=8)
+    t = spark.table("bidx.cells")
+    pts = src_pages.extract_points(src_pages.synth_pages(spark, 500, partitions=4))
+    keyed = with_fij_keys(pts, "lat", "lng", 10, 16).repartition(8, "fij_key")
+    joined = keyed.join(t, "fij_key")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" in plan  # the bucketed table scan
+    # only the probe side repartition exchanges; the bucketed index side
+    # joins shuffle-free
+    assert plan.count("Exchange") <= 2
+    assert joined.count() > 0  # golden hits flow through
