@@ -90,9 +90,12 @@ def test_bucketed_index_join_no_index_shuffle(spark, houat_index, tmp_path):
     on the index side (co-located join for non-broadcastable layers)."""
     from insideout_spark.plans.index_build import save_index_bucketed
 
-    spark.sql("CREATE DATABASE IF NOT EXISTS bidx")
-    save_index_bucketed(houat_index, "bidx.cells", n_buckets=8)
-    t = spark.table("bidx.cells")
+    import uuid
+
+    name = f"bidx_cells_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    save_index_bucketed(houat_index, name, n_buckets=8)
+    t = spark.table(name)
     pts = src_pages.extract_points(src_pages.synth_pages(spark, 500, partitions=4))
     keyed = with_fij_keys(pts, "lat", "lng", 10, 16).repartition(8, "fij_key")
     joined = keyed.join(t, "fij_key")
@@ -102,3 +105,4 @@ def test_bucketed_index_join_no_index_shuffle(spark, houat_index, tmp_path):
     # joins shuffle-free
     assert plan.count("Exchange") <= 2
     assert joined.count() > 0  # golden hits flow through
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
