@@ -114,6 +114,35 @@ def _rects_values_sql() -> str:
 
 _ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
+_PREPARED: set = set()
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def _prepare(spark: SparkSession) -> None:
+    """Ship the package to python workers (addPyFile) so the contract
+    works regardless of the driver's cwd — the driver process gets the
+    repo via sys.path above, but executor python workers do not inherit
+    driver sys.path."""
+    key = id(spark.sparkContext)
+    if key in _PREPARED:
+        return
+    zip_path = os.path.join(_REPO_ROOT, "dist", "insideout_spark.zip")
+    if not os.path.exists(zip_path):
+        import zipfile
+
+        os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+            pkg = os.path.join(_REPO_ROOT, "insideout_spark")
+            for root, _, files in os.walk(pkg):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        p = os.path.join(root, f)
+                        z.write(p, os.path.relpath(p, _REPO_ROOT))
+    spark.sparkContext.addPyFile(zip_path)
+    _PREPARED.add(key)
+
 
 # ---------------------------------------------------------------------------
 # contract functions
@@ -124,6 +153,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dual-cover PIP join of sf0.001-derived points against the
     France rect fixture — ancestor-explode broadcast join + interior
     short-circuit + vectorized ray-cast residue."""
+    _prepare(spark)
     sf_dir = "/root/testdata/sf0.001"
     pts = _points(spark, sf_dir)
     res = pip_join(pts, _rect_index(spark), id_cols=("point_id",), ordered=True)
@@ -269,7 +299,19 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(synth_media(_docs(spark, sf_dir)))
 
 
+def _with_prepare(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prepare(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _with_prepare(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "golden_stab_cases": _q_golden_stab,
         "pip_rect_join": _q_pip_rect,
