@@ -63,6 +63,13 @@ def timed(fn):
     return time.time() - t0, out
 
 
+def _session(name: str, master: str, shuffle_partitions: int):
+    spark = get_spark(name, master=master, shuffle_partitions=shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+    entry_mod._prepare(spark)  # ship package zip to workers (cwd-robust)
+    return spark
+
+
 def communes_index(spark):
     return build_index(
         spark,
@@ -124,9 +131,7 @@ def run_headline(spark) -> dict[str, float]:
 
 
 def _scaling_run(cores: int) -> float:
-    spark = get_spark(f"bench-scaling-{cores}", master=f"local[{cores}]",
-                      shuffle_partitions=cores * 2)
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = _session(f"bench-scaling-{cores}", f"local[{cores}]", cores * 2)
     idx = communes_index(spark)
     idx.edges()
     if not os.path.exists(SCALING_PQ):
@@ -158,8 +163,7 @@ def run_scaling() -> dict:
 
 
 def main() -> None:
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = _session("bench", f"local[{CPUS}]", CPUS)
     queries = run_headline(spark)
     spark.stop()
 
