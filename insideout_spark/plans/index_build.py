@@ -273,6 +273,28 @@ def make_manifest(
     }
 
 
+def _auto_params_df(features: DataFrame):
+    """auto_cover_params computed distributed: per-loop bbox diagonal via
+    Catalyst array functions, median via exact percentile."""
+    import math
+
+    xs = F.transform("ring", lambda v: v[0])
+    ys = F.transform("ring", lambda v: v[1])
+    diag = F.sqrt(
+        F.pow(F.array_max(xs) - F.array_min(xs), F.lit(2.0))
+        + F.pow(F.array_max(ys) - F.array_min(ys), F.lit(2.0))
+    )
+    med = features.select(diag.alias("d")).agg(F.expr("percentile(d, 0.5)")).first()[0]
+    lvl = int(min(max(round(math.log2(90.0 / max(float(med or 1e-6), 1e-6))), 0), 18))
+    min_l = max(lvl - 1, 0)
+    from ..geo.cover import CoverParams
+
+    return (
+        CoverParams(min_l, min(min_l + 4, 30), 64),
+        CoverParams(min_l, min(min_l + 3, 30), 32),
+    )
+
+
 def build_index(
     spark: SparkSession,
     loop_rows,
@@ -280,16 +302,25 @@ def build_index(
     exterior_params: geo_cover.CoverParams | None = None,
     warning_cells_cover: int = DEFAULT_WARNING_CELLS_COVER,
 ) -> IndexBundle:
-    """End-to-end build from parsed loop rows. The cell index is computed
-    once and cached — it is the broadcast side of every stab join.
-    Cover params default to `geo.cover.auto_cover_params` (sized from
-    the polygon extents, like the reference's per-dataset indexer
-    flags)."""
-    if interior_params is None or exterior_params is None:
-        auto_i, auto_e = geo_cover.auto_cover_params(loop_rows)
-        interior_params = interior_params or auto_i
-        exterior_params = exterior_params or auto_e
-    feats = features_df(spark, loop_rows)
+    """End-to-end build from parsed loop rows (python list) OR a features
+    DataFrame (e.g. from sources.polygons.load_geojsonl_df — the
+    planet-scale path that never materializes geometry on the driver).
+    The cell index is computed once and cached — it is the broadcast
+    side of every stab join. Cover params default to
+    `geo.cover.auto_cover_params` (sized from the polygon extents, like
+    the reference's per-dataset indexer flags)."""
+    if isinstance(loop_rows, DataFrame):
+        feats = loop_rows
+        if interior_params is None or exterior_params is None:
+            auto_i, auto_e = _auto_params_df(feats)
+            interior_params = interior_params or auto_i
+            exterior_params = exterior_params or auto_e
+    else:
+        if interior_params is None or exterior_params is None:
+            auto_i, auto_e = geo_cover.auto_cover_params(loop_rows)
+            interior_params = interior_params or auto_i
+            exterior_params = exterior_params or auto_e
+        feats = features_df(spark, loop_rows)
     # polygon layers are small relative to the points side; spread the
     # cover computation (the expensive part) across the cluster
     n = feats.count()

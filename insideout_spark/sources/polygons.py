@@ -19,6 +19,74 @@ def load_geojson_loops(path: str):
         return geo_geojson.parse_feature_collection(f.read())
 
 
+def load_geojsonl_df(spark, path: str):
+    """Distributed parse of newline-delimited GeoJSON features
+    (GeoJSONSeq / .geojsonl — the planet-scale interchange format) into
+    the engine's features DataFrame. feature_id is the dense file order
+    (zipWithIndex preserves text-file line order), matching the
+    reference's order-of-appearance counter
+    (storage/bbolt/storage.go:342-445). Parsing runs in mapInPandas, so
+    a million-feature layer never touches the driver."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..plans.index_build import FEATURES_SCHEMA
+
+    lines = spark.read.text(path).rdd.map(lambda r: r[0]).zipWithIndex()
+    base = lines.toDF(["line", "feature_id"])
+
+    def parse(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from ..geo import geojson as geo_geojson
+
+        for pdf in batches:
+            out = {k: [] for k in ("feature_id", "loop_pos", "ring", "properties", "admin_level")}
+            for fid, line in zip(pdf["feature_id"], pdf["line"]):
+                line = line.strip()
+                if not line:
+                    continue
+                fc = {"type": "FeatureCollection", "features": [_json.loads(line)]}
+                for row in geo_geojson.parse_feature_collection(_json.dumps(fc)):
+                    out["feature_id"].append(int(fid))
+                    out["loop_pos"].append(row["loop_pos"])
+                    out["ring"].append(row["ring"])
+                    out["properties"].append(row["properties"])
+                    out["admin_level"].append(row["admin_level"])
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(parse, schema=FEATURES_SCHEMA)
+
+
+def dump_geojsonl(loop_rows) -> str:
+    """Features -> newline-delimited GeoJSON (one feature per line,
+    loops regrouped into MultiPolygons)."""
+    import json as _json
+
+    from ..geo.geojson import ring_to_geojson_feature
+
+    by_fid: dict = {}
+    for r in loop_rows:
+        by_fid.setdefault(r["feature_id"], []).append(r)
+    lines = []
+    for fid in sorted(by_fid):
+        rows = sorted(by_fid[fid], key=lambda r: r["loop_pos"])
+        polys = []
+        for r in rows:
+            ring = [list(map(float, v)) for v in r["ring"]]
+            if ring[0] != ring[-1]:
+                ring.append(ring[0])
+            polys.append([ring])
+        feat = {
+            "type": "Feature",
+            "properties": rows[0].get("properties") or {},
+            "geometry": {"type": "MultiPolygon", "coordinates": polys},
+        }
+        lines.append(_json.dumps(feat))
+    return "\n".join(lines)
+
+
 def synth_countries_loops(n: int = 177):
     """Deterministic grid of n rectangular 'country' polygons over
     mid-latitudes. Rectangles in lng/lat with a gap between neighbors so

@@ -37,3 +37,40 @@ def test_column_pruning_reaches_scan(spark, tmp_path):
 
 def test_iceberg_gate_reports_absent(spark):
     assert not iceberg_available(spark)  # no Iceberg jars in this container
+
+
+def test_geojsonl_distributed_parse_matches_list_path(spark, houat_loops, houat_index, tmp_path):
+    """load_geojsonl_df (planet-scale parse, no driver geometry) builds
+    an index whose stab results equal the list-based path."""
+    from insideout_spark.plans.index_build import build_index
+    from insideout_spark.plans.pip_join import pip_join
+    from insideout_spark.sources.polygons import dump_geojsonl, load_geojsonl_df
+
+    path = str(tmp_path / "houat.geojsonl")
+    with open(path, "w") as f:
+        f.write(dump_geojsonl(houat_loops))
+    feats = load_geojsonl_df(spark, path)
+    rows = feats.orderBy("feature_id", "loop_pos").collect()
+    assert [(r["feature_id"], r["loop_pos"]) for r in rows] == [(0, 0), (0, 1), (0, 2)]
+    assert rows[1]["properties"]["nom"] == "Île-d'Houat"
+
+    from insideout_spark.geo.cover import CoverParams
+
+    idx = build_index(spark, feats, CoverParams(10, 16, 24), CoverParams(10, 15, 16), 100)
+    pts = src_pages.extract_points(src_pages.synth_pages(spark, 200, partitions=2))
+    a = {(r["url"], r["feature_id"], r["loop_pos"], r["is_sure_hit"])
+         for r in pip_join(pts, idx, include_properties=False).collect()}
+    b = {(r["url"], r["feature_id"], r["loop_pos"], r["is_sure_hit"])
+         for r in pip_join(pts, houat_index, include_properties=False).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_auto_params_df(spark, houat_loops):
+    from insideout_spark.plans.index_build import _auto_params_df, features_df
+    from insideout_spark.geo.cover import auto_cover_params
+
+    feats = features_df(spark, houat_loops)
+    ip_df, ep_df = _auto_params_df(feats)
+    ip, ep = auto_cover_params(houat_loops)
+    assert ip_df.min_level == ip.min_level
+    assert ep_df.min_level == ep.min_level
