@@ -1,0 +1,76 @@
+"""End-to-end training-data pipeline composition.
+
+The engine's operators compose into the canonical web-corpus curation
+flow — this module wires them into one DataFrame->DataFrame function so
+a user of the reference (one stab query at a time over gRPC) can run
+the whole corpus-scale equivalent in a single Spark job:
+
+    pages
+      -> exact dedup           (md5 groups, keep lowest doc id)
+      -> near-dup removal      (MinHash-LSH pairs, drop the higher id)
+      -> language filter       (declared lang or stopword guess)
+      -> coordinate extraction (deterministic, byte-identical per url)
+      -> dual-cover stab join  (geocode against the polygon layer)
+      -> tile assignment       (S2 + grid)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.pages import extract_points
+from .index_build import IndexBundle
+from .pip_join import pip_join
+from .tiles import assign_tiles
+from .webtext import lang_guess, minhash_lsh_pairs
+
+
+def curate_pages(
+    pages: DataFrame,
+    langs: tuple[str, ...] = ("fr", "en"),
+    near_dup_threshold: float = 0.85,
+) -> DataFrame:
+    """Dedup + language-filter the pages corpus. Returns surviving pages
+    with their original columns."""
+    # exact dedup: keep the lowest-url representative of identical text
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("url")
+    pages = (
+        pages.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # near-dup removal: LSH pairs on a doc_id surrogate, drop the higher
+    docs = pages.select(F.xxhash64("url").alias("doc_id"), "text")
+    pairs = minhash_lsh_pairs(docs, threshold=near_dup_threshold)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    pages = pages.join(
+        losers, F.xxhash64(pages["url"]) == losers["doc_id"], "left_anti"
+    )
+    # language filter: declared lang when present, else stopword guess
+    guessed = lang_guess(
+        pages.select(F.xxhash64("url").alias("doc_id"), "text")
+    ).select("doc_id", "lang_guess")
+    pages = pages.join(
+        guessed, F.xxhash64(pages["url"]) == guessed["doc_id"], "left"
+    ).drop("doc_id")
+    keep = F.col("lang").isin(list(langs)) | F.col("lang_guess").isin(list(langs))
+    return pages.filter(keep).drop("lang_guess")
+
+
+def geocode_pipeline(
+    pages: DataFrame,
+    index: IndexBundle,
+    langs: tuple[str, ...] = ("fr", "en"),
+    s2_level: int = 10,
+    grid_res: int = 7,
+) -> DataFrame:
+    """curate -> extract -> stab join -> tile assign. One job, one
+    output table: (url, lat, lng, feature_id, loop_pos, is_sure_hit,
+    properties, admin_level, s2_cell_l{L}, grid_cell_r{R})."""
+    curated = curate_pages(pages, langs=langs)
+    points = extract_points(curated)
+    hits = pip_join(points, index, id_cols=("url",))
+    return assign_tiles(hits, s2_level=s2_level, grid_res=grid_res)

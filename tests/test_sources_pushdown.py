@@ -74,3 +74,30 @@ def test_auto_params_df(spark, houat_loops):
     ip, ep = auto_cover_params(houat_loops)
     assert ip_df.min_level == ip.min_level
     assert ep_df.min_level == ep.min_level
+
+
+def test_geocode_pipeline_end_to_end(spark, houat_index):
+    """Full curation pipeline: dedup + lang filter + stab + tiles."""
+    import datetime as dt
+
+    from insideout_spark.plans.pipeline import curate_pages, geocode_pipeline
+
+    base = src_pages.synth_pages(spark, 120, partitions=3)
+    # plant an exact duplicate of page 1 (the interior-cover golden hit)
+    dup = base.filter(F.col("url") == "https://example.org/00000001").withColumn(
+        "url", F.lit("https://example.org/zzdup")
+    )
+    pages = base.unionByName(dup)
+
+    curated = curate_pages(pages)
+    urls = {r["url"] for r in curated.select("url").collect()}
+    # exactly one of the identical pair survives (the lower url)
+    assert ("https://example.org/00000001" in urls) != ("https://example.org/zzdup" in urls)
+
+    out = geocode_pipeline(pages, houat_index)
+    rows = out.collect()
+    assert len(rows) > 0
+    cols = set(out.columns)
+    assert {"url", "feature_id", "loop_pos", "is_sure_hit", "s2_cell_l10", "grid_cell_r7"} <= cols
+    golden = [r for r in rows if r["url"].endswith("00000001") or r["url"].endswith("zzdup")]
+    assert len(golden) == 1 and golden[0]["is_sure_hit"]
