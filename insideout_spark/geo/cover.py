@@ -17,7 +17,10 @@ The exact cell *sets* differ from the Go RegionCoverer (different
 search heuristics), but the semantic contract above — which is all the
 join relies on — is preserved by construction and property-tested
 against the exact PIP oracle on thousands of random points
-(tests/test_cover.py). Classification is done in (lng,lat) space with
+(tests/test_cover.py). The interior/boundary split as a join-time
+filter-refinement approximation follows the published "Raster
+Intervals" idea (SIGMOD 2023, see PAPERS.md): precompute a raster
+approximation whose fully-inside cells skip exact geometry. Classification is done in (lng,lat) space with
 an inflated conservative bounding rect per cell, so a cell is only
 called INSIDE/OUTSIDE when that holds with margin; anything borderline
 is BOUNDARY and recursed.
