@@ -161,3 +161,52 @@ def test_fuzz_s2_hierarchy(lat, lng, lvl):
             | (j >> s)
         )
         assert geo_s2.fij_keys(p)[0] == want[0]
+
+
+@settings(max_examples=12, deadline=None)
+@given(seed=st.integers(0, 5000))
+def test_fuzz_cover_near_face_boundary(seed):
+    """Polygons straddling the S2 face-boundary latitudes (~41-45deg,
+    where the cube faces meet) must keep the cover safety contract."""
+    rng = np.random.default_rng(seed)
+    cx = rng.uniform(-170, 170)
+    cy = rng.uniform(40.0, 46.0)  # face-boundary neighborhood
+    radii = rng.uniform(0.05, 0.2, 10)
+    ring = _star_polygon(cx, cy, radii)
+    ic, ec = dual_cover(ring, CoverParams(7, 12, 32), CoverParams(7, 11, 24))
+    iset = {int(c) for c in ic}
+    eset = {int(c) for c in ec}
+    lat = rng.uniform(cy - 0.3, cy + 0.3, 200)
+    lng = rng.uniform(cx - 0.3, cx + 0.3, 200)
+    inside = geo_pip.points_in_ring(lng, lat, ring)
+    anc = geo_s2.ancestors(geo_s2.latlng_to_cell(lat, lng), 7, 12)
+    for k in range(200):
+        a = {int(v) for v in anc[:, k]}
+        if a & iset:
+            assert inside[k]
+        elif not (a & eset):
+            assert not inside[k]
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(0, 5000))
+def test_fuzz_cover_near_antimeridian(seed):
+    """Polygons close to (but not crossing) lng=180."""
+    rng = np.random.default_rng(seed)
+    cx = 178.5
+    cy = rng.uniform(-50.0, 50.0)
+    radii = rng.uniform(0.05, 0.5, 8)
+    ring = _star_polygon(cx, cy, radii)
+    ic, ec = dual_cover(ring, CoverParams(6, 11, 32), CoverParams(6, 10, 24))
+    iset = {int(c) for c in ic}
+    eset = {int(c) for c in ec}
+    lat = rng.uniform(cy - 0.8, cy + 0.8, 150)
+    lng = rng.uniform(cx - 0.8, cx + 0.8, 150)
+    inside = geo_pip.points_in_ring(lng, lat, ring)
+    anc = geo_s2.ancestors(geo_s2.latlng_to_cell(lat, lng), 6, 11)
+    for k in range(150):
+        a = {int(v) for v in anc[:, k]}
+        if a & iset:
+            assert inside[k]
+        elif not (a & eset):
+            assert not inside[k]
