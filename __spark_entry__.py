@@ -262,6 +262,20 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.token_counts(_docs(spark, sf_dir))
 
 
+def _q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webtext.quality_rules(_docs(spark, sf_dir))
+
+
+def _q_pip_rect_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same stab join via the salted shuffle path (skew handling under
+    the driver's oracle gate)."""
+    res = pip_join(
+        _points(spark, sf_dir), _rect_index(spark), id_cols=("point_id",),
+        include_properties=False, strategy="salted", salt_buckets=4,
+    )
+    return res.select("point_id", "feature_id", "loop_pos")
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = webtext.cosine_topk_brute(_embs(spark, sf_dir), _ANN_QUERY_IDS, k=10)
     return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
@@ -315,6 +329,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "golden_stab_cases": _q_golden_stab,
         "pip_rect_join": _q_pip_rect,
+        "pip_rect_join_salted": _q_pip_rect_salted,
+        "quality_rules": _q_quality_rules,
         "pip_count_by_feature": _q_pip_count,
         "pip_stop_on_first": _q_stop_first,
         "grid_assign_r7": _q_grid_assign,
@@ -355,7 +371,24 @@ def oracle_sql() -> dict[str, str]:
     )
     fr = " + ".join(_sql_word_hits(w) for w in webtext.FR_STOPWORDS)
     en = " + ".join(_sql_word_hits(w) for w in webtext.EN_STOPWORDS)
+    quality = (
+        "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks FROM documents), "
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n, "
+        "CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_chars, "
+        "CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT) AS max_tok, "
+        "CAST(len(list_filter(toks, t -> length(t) = 1)) AS BIGINT) AS n_single FROM t) "
+        "SELECT doc_id, n AS n_tokens, "
+        "(n >= 5 AND n <= 100000) AS r_len, "
+        "(total_chars * 1000 >= n * 2000 AND total_chars * 1000 <= n * 12000) AS r_mean_tok, "
+        "(max_tok <= 60) AS r_max_tok, "
+        "(n_single * 1000 <= n * 200) AS r_single, "
+        "((n >= 5 AND n <= 100000) AND (total_chars * 1000 >= n * 2000 AND total_chars * 1000 <= n * 12000) "
+        "AND (max_tok <= 60) AND (n_single * 1000 <= n * 200)) AS keep "
+        "FROM m"
+    )
     return {
+        "pip_rect_join_salted": pip_core,
+        "quality_rules": quality,
         # literal goldens from the reference's strategy test suites:
         # rows 0,1,4 contain (fid 0, pos 1); row 1 via the interior
         # cover (sure), rows 0 and 4 via exact PIP; rows 2,3,5 miss

@@ -83,6 +83,39 @@ def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (public heuristics from the
+    Gopher/MassiveText paper family), exact-integer formulation so the
+    oracle reproduces them bit-for-bit:
+
+      r1: 5 <= n_tokens <= 100000
+      r2: mean token length in [2, 12]  (scaled x1000 integer compare)
+      r3: no token longer than 60 chars
+      r4: at most 20% single-char tokens (x1000 integer compare)
+
+    Returns (doc_id, n_tokens, r1..r4 booleans, keep)."""
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    n = F.size(toks).cast("long")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
+    )
+    max_tok = F.array_max(F.transform(toks, lambda t: F.length(t).cast("long")))
+    n_single = F.size(F.filter(toks, lambda t: F.length(t) == 1)).cast("long")
+    r1 = (n >= 5) & (n <= 100000)
+    r2 = (total_chars * 1000 >= n * 2000) & (total_chars * 1000 <= n * 12000)
+    r3 = max_tok <= 60
+    r4 = n_single * 1000 <= n * 200
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        r1.alias("r_len"),
+        r2.alias("r_mean_tok"),
+        r3.alias("r_max_tok"),
+        r4.alias("r_single"),
+        (r1 & r2 & r3 & r4).alias("keep"),
+    )
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish proxy: ceil(bytes/4) 'subword'
     budget — both exact integer arithmetic."""
