@@ -53,7 +53,7 @@ def _sf_from_dir(d: str) -> float:
 
 SF = _sf_from_dir(SF_DIR)
 N_PAGES = max(100_000, int(5_000_000 * SF)) if SF > 0 else 500_000
-N_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "6000000"))
+N_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "8000000"))
 SCALING_PQ = "/tmp/insideout_bench_points.parquet"
 
 
