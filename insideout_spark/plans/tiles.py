@@ -63,6 +63,28 @@ def s2_cell_geojson(cell: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def dissolve_tiles(df: DataFrame, group_cols, cell_col: str) -> DataFrame:
+    """Raster->vector dissolve per group: merge each group's grid cells
+    into the GeoJSON outline of their union (geo/dissolve.py) — e.g. the
+    vector footprint of every feature's tile set. applyInPandas per
+    group; the lattice tracing is integer-exact numpy."""
+    group_cols = list(group_cols)
+
+    def run(key, pdf):
+        import pandas as pd
+
+        from ..geo.dissolve import dissolve_to_geojson
+
+        gj = dissolve_to_geojson(pdf[cell_col].to_numpy())
+        return pd.DataFrame([[*key, len(pdf), gj]])
+
+    schema = ", ".join(
+        [f"{df.schema[c].name} {df.schema[c].dataType.simpleString()}" for c in group_cols]
+        + ["n_cells long", "outline_geojson string"]
+    )
+    return df.select(*group_cols, cell_col).groupBy(*group_cols).applyInPandas(run, schema)
+
+
 def grid_cell_bounds_cols(df: DataFrame, cell_col: str) -> DataFrame:
     """Vector corners of grid cells as plain double columns — exact
     arithmetic, fully Catalyst-side, and expressible in the DuckDB
