@@ -216,7 +216,13 @@ def knn_cell_join(
         ranked = acc.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
         )
-        acc = ranked.drop("rank").localCheckpoint(eager=True)  # cut lineage
+        # memory persist instead of localCheckpoint: rounds are few (~3)
+        # so bounded lineage is fine and we skip the disk write
+        prev = acc
+        acc = ranked.drop("rank").persist()
+        acc.count()
+        if hasattr(prev, "unpersist") and prev.is_cached:
+            prev.unpersist()
 
         # a point is done when its k-th best distance beats the guarantee
         g = r * guarantee_step
