@@ -119,6 +119,83 @@ def test_knn_cell_join_matches_brute(spark, points_df, targets_df):
     assert ring == brute
 
 
+def test_knn_cell_join_tiny_res_wrap_dedup(spark):
+    """ADVICE r01 (high) repro: res=1 (n=2 cells per axis) makes 2r+1 > n,
+    so ring offsets wrap onto the same cell. Without offset dedup the
+    same target filled several of the k slots; must equal brute."""
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": np.arange(50, dtype=np.int64),
+                "lat": rng.uniform(-80.0, 80.0, 50),
+                "lng": rng.uniform(-179.0, 179.0, 50),
+            }
+        )
+    )
+    tgt = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "target_id": np.arange(4, dtype=np.int64),
+                "lat": np.array([10.0, -40.0, 55.0, -70.0]),
+                "lng": np.array([100.0, -120.0, 3.0, 170.0]),
+            }
+        )
+    )
+    for res in (1, 2):
+        brute = {
+            (r["point_id"], r["target_id"], r["rank"])
+            for r in knn_brute(pts, tgt, k=3).collect()
+        }
+        ring = {
+            (r["point_id"], r["target_id"], r["rank"])
+            for r in knn_cell_join(pts, tgt, k=3, res=res).collect()
+        }
+        assert ring == brute, f"res={res}"
+        # distinct neighbors per point — no duplicate target in the k slots
+        per_point = {}
+        for pid, tid, rank in ring:
+            per_point.setdefault(pid, []).append(tid)
+        assert all(len(v) == len(set(v)) for v in per_point.values())
+
+
+def test_knn_cell_join_fewer_targets_than_k(spark):
+    """Full sweep with n_targets < k must emit min(k, n_targets) rows
+    per point, exactly like brute."""
+    import pandas as pd
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": np.arange(10, dtype=np.int64),
+                "lat": np.linspace(-60, 60, 10),
+                "lng": np.linspace(-150, 150, 10),
+            }
+        )
+    )
+    tgt = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "target_id": np.array([0, 1], dtype=np.int64),
+                "lat": np.array([0.0, 45.0]),
+                "lng": np.array([0.0, 90.0]),
+            }
+        )
+    )
+    brute = sorted(
+        (r["point_id"], r["target_id"], r["rank"])
+        for r in knn_brute(pts, tgt, k=5).collect()
+    )
+    ring = sorted(
+        (r["point_id"], r["target_id"], r["rank"])
+        for r in knn_cell_join(pts, tgt, k=5, res=3).collect()
+    )
+    assert ring == brute
+    assert len(ring) == 20  # 10 points x 2 targets
+
+
 def test_checkpoint_resume(spark, points_df, tmp_path):
     df, _ = points_df
     out_dir = str(tmp_path / "ck")
