@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from insideout_spark.geo import grid as geo_grid  # noqa: E402
+from insideout_spark.geo import s2_sql  # noqa: E402
 from insideout_spark.geo.cover import CoverParams  # noqa: E402
 from insideout_spark.plans import webtext  # noqa: E402
 from insideout_spark.plans.index_build import build_index  # noqa: E402
@@ -471,10 +472,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank "
             "FROM pairs QUALIFY rank <= 10"
         ),
+        # full-table independent-engine S2 oracle: DuckDB recomputes the
+        # cell ids from scratch (xyz -> face/uv -> quadratic ST -> 10
+        # unrolled Hilbert levels), written from the published spec —
+        # a hash match externally validates the numpy S2 kernel
+        "s2_assign_l10": s2_sql.s2_assign_sql(
+            f"({POINTS_SQL})", "lat", "lng", 10,
+            ("point_id",), "s2_cell_l10", "s2_token",
+        ),
         # non-SQL-expressible ops (custom hashing / LSH / stubbed codecs)
         # intentionally omitted: ann_lsh_top10, minhash_lsh_pairs,
         # simhash64, doc_fingerprint, ngram_jaccard_pairs,
-        # multimodal_features, s2_assign_l10 (S2 Hilbert math has no SQL
-        # form) — the driver records rows-only checks; python oracles
-        # cover them in tests/.
+        # multimodal_features — the driver records rows-only checks;
+        # python oracles cover them in tests/.
     }

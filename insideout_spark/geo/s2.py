@@ -94,7 +94,9 @@ def xyz_to_face_uv(x, y, z):
     y = np.asarray(y, dtype=np.float64)
     z = np.asarray(z, dtype=np.float64)
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
-    axis = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    # canonical LargestAbsComponent tie-break (strict >): z wins ties,
+    # matching the published C++ implementation
+    axis = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
     comp = np.choose(axis, (x, y, z))
     face = np.where(comp >= 0, axis, axis + 3).astype(np.int64)
     u = np.empty_like(x)
