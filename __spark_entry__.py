@@ -277,6 +277,18 @@ def _q_pip_rect_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("point_id", "feature_id", "loop_pos")
 
 
+def _q_pip_rect_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same stab join via the fused single-Arrow-pass path (the
+    treeindex analog, J2, and the engine's streaming path —
+    streaming/stream_pip.py reuses it); gated against the same
+    pip_core oracle (VERDICT r01 'Next round' #4)."""
+    res = pip_join(
+        _points(spark, sf_dir), _rect_index(spark), id_cols=("point_id",),
+        include_properties=False, strategy="fused",
+    )
+    return res.select("point_id", "feature_id", "loop_pos")
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = webtext.cosine_topk_brute(_embs(spark, sf_dir), _ANN_QUERY_IDS, k=10)
     return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
@@ -331,6 +343,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_stab_cases": _q_golden_stab,
         "pip_rect_join": _q_pip_rect,
         "pip_rect_join_salted": _q_pip_rect_salted,
+        "pip_rect_join_fused": _q_pip_rect_fused,
         "quality_rules": _q_quality_rules,
         "pip_count_by_feature": _q_pip_count,
         "pip_stop_on_first": _q_stop_first,
@@ -389,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "pip_rect_join_salted": pip_core,
+        "pip_rect_join_fused": pip_core,
         "quality_rules": quality,
         # literal goldens from the reference's strategy test suites:
         # rows 0,1,4 contain (fid 0, pos 1); row 1 via the interior

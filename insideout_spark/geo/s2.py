@@ -362,6 +362,11 @@ def fij_keys(cell_id):
     cell_id = np.asarray(cell_id, dtype=np.uint64)
     face, i, j, _ = to_face_ij(cell_id)
     lvl = level(cell_id)
+    if np.any(lvl > 28):
+        # i>>s needs < 2^28 for the (face|level|i|j) packing to stay
+        # injective — fail loudly instead of corrupting join keys
+        # (ADVICE r01: CoverParams up to 30 were accepted unasserted)
+        raise ValueError("fij_keys is only injective for levels <= 28")
     s = (MAX_LEVEL - lvl).astype(np.int64)
     return (
         (np.asarray(face, dtype=np.int64) << np.int64(61))

@@ -201,6 +201,14 @@ def build_cell_index(
     """Distributed dual-cover build (reference storage/bbolt/storage.go:
     319-448 'I'/'O' postings, re-expressed as mapInPandas -> explode)."""
     ip, ep, guard = interior_params, exterior_params, warning_cells_cover
+    if ip.max_level > 28 or ep.max_level > 28:
+        # driver-side twin of the fij_keys assert: fail at build time,
+        # not deep inside an executor UDF (ADVICE r01)
+        raise ValueError(
+            "cover max_level must be <= 28 (fij stab keys are only "
+            f"injective up to level 28; got interior={ip.max_level}, "
+            f"exterior={ep.max_level})"
+        )
 
     def compute(batches):
         import numpy as np
@@ -222,10 +230,30 @@ def build_cell_index(
                 ring = np.asarray([[v[0], v[1]] for v in ring], dtype=np.float64)
                 if len(ring) < 4:  # loop-validity filter (reference tools.go:122-124)
                     continue
+                # antimeridian guard: the exact PIP is planar even-odd in
+                # (lng,lat) degrees; a ring whose lng extent exceeds 180°
+                # (Fiji/Russia/Antarctica GeoJSON crossing ±180) would be
+                # indexed with silently-wrong containment vs the
+                # reference's spherical s2.Loop — reject loudly at build
+                # time instead (ADVICE r01; normalize/split upstream)
+                if float(ring[:, 0].max() - ring[:, 0].min()) > 180.0:
+                    raise ValueError(
+                        f"feature {int(fid)} loop {int(pos)}: lng extent "
+                        "> 180 deg (antimeridian-crossing or wrapped ring); "
+                        "planar PIP semantics would be wrong — normalize or "
+                        "split the ring before indexing"
+                    )
                 inside_cells, outside_cells = geo_cover.dual_cover(ring, ip, ep)
-                # cover-size guard (reference storage/bbolt/storage.go:363-370)
-                if len(outside_cells) > guard or len(inside_cells) > guard:
-                    continue
+                # cover-size guard, applied PER COVER SIDE like the
+                # reference (storage/bbolt/storage.go:363-370 skips only
+                # the interior postings, :408-414 only the exterior
+                # ones): a loop whose interior cover is oversized stays
+                # findable through its exterior cover + exact test, and
+                # vice versa (VERDICT r01 'What's wrong' #1)
+                if len(inside_cells) > guard:
+                    inside_cells = []
+                if len(outside_cells) > guard:
+                    outside_cells = []
                 bb = (
                     float(ring[:, 0].min()),
                     float(ring[:, 1].min()),
@@ -249,6 +277,50 @@ def build_cell_index(
 
     return features.select("feature_id", "loop_pos", "ring").mapInPandas(
         compute, schema=CELL_INDEX_SCHEMA
+    )
+
+
+def cover_guard_stats(
+    features: DataFrame,
+    interior_params: geo_cover.CoverParams = geo_cover.CoverParams(*geo_cover.DEFAULT_INTERIOR),
+    exterior_params: geo_cover.CoverParams = geo_cover.CoverParams(*geo_cover.DEFAULT_EXTERIOR),
+    warning_cells_cover: int = DEFAULT_WARNING_CELLS_COVER,
+) -> DataFrame:
+    """Per-loop cover sizes + which sides the guard would drop — the
+    observability companion to build_cell_index's per-side guard, so a
+    planet-scale build can surface (and alert on) silently-dropped
+    covers instead of discovering them as missing hits. One distributed
+    pass; aggregate downstream with a plain groupBy."""
+    ip, ep, guard = interior_params, exterior_params, warning_cells_cover
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "feature_id": [], "loop_pos": [], "n_inside": [],
+                "n_outside": [], "inside_dropped": [], "outside_dropped": [],
+            }
+            for fid, pos, ring in zip(pdf["feature_id"], pdf["loop_pos"], pdf["ring"]):
+                ring = np.asarray([[v[0], v[1]] for v in ring], dtype=np.float64)
+                if len(ring) < 4:
+                    continue
+                ins, outs = geo_cover.dual_cover(ring, ip, ep)
+                rows["feature_id"].append(int(fid))
+                rows["loop_pos"].append(int(pos))
+                rows["n_inside"].append(len(ins))
+                rows["n_outside"].append(len(outs))
+                rows["inside_dropped"].append(len(ins) > guard)
+                rows["outside_dropped"].append(len(outs) > guard)
+            yield pd.DataFrame(rows)
+
+    return features.select("feature_id", "loop_pos", "ring").mapInPandas(
+        compute,
+        schema=(
+            "feature_id long, loop_pos long, n_inside long, n_outside long, "
+            "inside_dropped boolean, outside_dropped boolean"
+        ),
     )
 
 

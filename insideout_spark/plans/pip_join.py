@@ -109,7 +109,19 @@ def _fused_stab(points: DataFrame, stab_bc, id_cols, lat_col: str, lng_col: str)
             it = np.concatenate(hit_i).astype(np.int8)
             # dedup (point, fid, pos) + interior precedence: packed keys
             # + reduceat (reference A2 dedup + J5 anti-join)
-            # layout: point(23b) | fid(25b) | pos(16b)
+            # layout: point(23b) | fid(25b) | pos(16b) — fail loudly on
+            # overflow instead of silently corrupting dedup (ADVICE r01)
+            if len(f) and (
+                int(f.max()) >= (1 << 25)
+                or int(p.max()) >= (1 << 16)
+                or len(pdf) >= (1 << 23)
+            ):
+                raise ValueError(
+                    "fused stab packing overflow: need feature_id < 2^25, "
+                    "loop_pos < 2^16, batch < 2^23 rows "
+                    f"(got max fid={int(f.max())}, max pos={int(p.max())}, "
+                    f"batch={len(pdf)}); use strategy='jvm' for wider ids"
+                )
             packed = (pt_i.astype(np.int64) << np.int64(41)) | (f << np.int64(16)) | p
             order = np.argsort(packed, kind="stable")
             sp = packed[order]

@@ -109,3 +109,83 @@ def test_broadcast_join_in_plan(spark, houat_index, golden_points_df):
     probe side before the join (scale contract, SURVEY.md §4)."""
     plan = pip_join(golden_points_df, houat_index)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_cover_guard_per_side(spark, houat_loops, golden_points_df):
+    """Per-side cover guard (reference storage/bbolt/storage.go:363-370
+    interior / :408-414 exterior): when ONE cover exceeds the guard
+    only that side's postings are dropped — the feature stays findable
+    through the other cover. Round 1 dropped the whole loop."""
+    from insideout_spark.geo.cover import CoverParams
+    from insideout_spark.plans.index_build import (
+        build_index,
+        cover_guard_stats,
+        features_df,
+    )
+
+    ip, ep = CoverParams(10, 16, 24), CoverParams(10, 15, 16)
+    feats = features_df(spark, houat_loops)
+    stats = {
+        (r["feature_id"], r["loop_pos"]): (r["n_inside"], r["n_outside"])
+        for r in cover_guard_stats(feats, ip, ep, 100).collect()
+    }
+    ni, no = stats[(0, 1)]
+    assert ni > 0 and no > 0 and ni != no
+    guard = min(ni, no)  # drops exactly the larger side
+    idx = build_index(spark, houat_loops, ip, ep, warning_cells_cover=guard)
+    kinds = {
+        bool(r["is_interior"])
+        for r in idx.cell_index.select("is_interior").distinct().collect()
+    }
+    res = pip_join(golden_points_df, idx)
+    by = _hits_by_golden_row(res.collect())
+    if ni > no:
+        # interior postings dropped: all three inside rows still hit,
+        # now via exterior candidates + exact test (no sure hits)
+        assert kinds == {False}
+        assert by.get(0) == {(0, 1, False)}
+        assert by.get(1) == {(0, 1, False)}
+        assert by.get(4) == {(0, 1, False)}
+    else:
+        # exterior postings dropped: the interior sure-hit row survives
+        assert kinds == {True}
+        assert by.get(1) == {(0, 1, True)}
+    # guard-stats observability flags the dropped side
+    st = {
+        (r["feature_id"], r["loop_pos"]): (r["inside_dropped"], r["outside_dropped"])
+        for r in cover_guard_stats(feats, ip, ep, guard).collect()
+    }
+    assert st[(0, 1)] == (ni > guard, no > guard)
+
+
+def test_antimeridian_ring_rejected(spark):
+    """Rings crossing the antimeridian (lng extent > 180°) are rejected
+    at build time instead of being indexed with wrong planar PIP
+    semantics (ADVICE r01)."""
+    from insideout_spark.geo.cover import CoverParams
+    from insideout_spark.plans.index_build import build_index
+
+    fiji_like = [
+        {
+            "feature_id": 0,
+            "loop_pos": 0,
+            "ring": [[179.0, -17.0], [-179.5, -17.0], [-179.5, -18.0],
+                      [179.0, -18.0], [179.0, -17.0]],
+            "properties": {},
+            "admin_level": None,
+        }
+    ]
+    with pytest.raises(Exception, match="antimeridian|lng extent"):
+        build_index(
+            spark, fiji_like, CoverParams(4, 8, 16), CoverParams(4, 8, 16)
+        )
+
+
+def test_build_rejects_level_above_28(spark, houat_loops):
+    from insideout_spark.geo.cover import CoverParams
+    from insideout_spark.plans.index_build import build_index
+
+    with pytest.raises(ValueError, match="<= 28"):
+        build_index(
+            spark, houat_loops, CoverParams(10, 30, 24), CoverParams(10, 15, 16)
+        )
