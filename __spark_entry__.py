@@ -27,6 +27,7 @@ from insideout_spark.geo import grid as geo_grid  # noqa: E402
 from insideout_spark.geo import s2_sql  # noqa: E402
 from insideout_spark.geo.cover import CoverParams  # noqa: E402
 from insideout_spark.plans import webtext  # noqa: E402
+from insideout_spark.plans import webtext_sql  # noqa: E402
 from insideout_spark.plans.index_build import build_index  # noqa: E402
 from insideout_spark.plans.knn import knn_cell_join  # noqa: E402
 from insideout_spark.plans.multimodal import extract_media_features, synth_media  # noqa: E402
@@ -494,9 +495,17 @@ def oracle_sql() -> dict[str, str]:
             f"({POINTS_SQL})", "lat", "lng", 10,
             ("point_id",), "s2_cell_l10", "s2_token",
         ),
-        # non-SQL-expressible ops (custom hashing / LSH / stubbed codecs)
-        # intentionally omitted: ann_lsh_top10, minhash_lsh_pairs,
-        # simhash64, doc_fingerprint, ngram_jaccard_pairs,
-        # multimodal_features — the driver records rows-only checks;
-        # python oracles cover them in tests/.
+        # generated bit-exact oracles for the hashing operators: DuckDB
+        # recomputes the identical integer arithmetic (poly-257 rolling
+        # hashes mod 2^64 in HUGEINT, splitmix64/xor-fold finalizers,
+        # MinHash perms mod 2^31-1, SimHash bit votes) — see
+        # insideout_spark/plans/webtext_sql.py
+        "doc_fingerprint": webtext_sql.fingerprint_sql(),
+        "simhash64": webtext_sql.simhash_sql(),
+        "minhash_lsh_pairs": webtext_sql.minhash_pairs_sql(threshold=0.35),
+        "ngram_jaccard_pairs": webtext_sql.ngram_pairs_sql(threshold=0.2),
+        # non-SQL-expressible ops intentionally omitted (rows-only):
+        # ann_lsh_top10 / ann_ivf_top10 (seeded random projections &
+        # sampled k-means have no SQL form; recall-tested in pytest vs
+        # the exact brute oracle), multimodal_features (stubbed codec).
     }

@@ -1,0 +1,153 @@
+"""DuckDB oracle-SQL generators for the webtext hashing operators.
+
+Each generator mirrors the exact integer arithmetic of its Spark twin
+in plans/webtext.py (poly-257 rolling hashes mod 2^64 in HUGEINT,
+murmur-style finalizers, MinHash permutations mod 2^31-1, SimHash bit
+votes), so the driver's value-hash comparison is bit-exact. The SQL is
+generated, not handwritten, from the same public constants.
+"""
+
+from __future__ import annotations
+
+from . import webtext
+
+_TWO64 = 1 << 64
+_TWO63 = 1 << 63
+_P31 = (1 << 31) - 1
+_MIX_MUL = 0xFF51AFD7ED558CCD
+# splitmix64 constants (public, same as sources/pages._splitmix64)
+_SM_ADD = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+
+
+def shingle_hash_list_sql(text_expr: str = "text", k: int = 5) -> str:
+    """List of mixed 31-bit shingle hashes of `text_expr` — the SQL twin
+    of webtext._shingle_hashes (k-char poly-257 + xor-fold finalizer).
+    ASCII corpus: ord(char) == byte."""
+    poly = " + ".join(
+        f"ord(substr({text_expr}, CAST(i + {j + 1} AS BIGINT), 1)) * {257 ** (k - 1 - j)}"
+        for j in range(k)
+    )
+    # h < 2^41 so the first xor-shift stays in BIGINT; the multiply wraps
+    # mod 2^64 in HUGEINT exactly like numpy uint64
+    return (
+        "list_transform(list_transform(list_transform("
+        f"range(0, length({text_expr}) - {k - 1}), i -> {poly}), "
+        f"h -> (CAST(xor(h, h // {1 << 33}) AS HUGEINT) * {_MIX_MUL}) % {_TWO64}), "
+        f"m -> CAST(xor(m, m // {1 << 29}) % {1 << 31} AS BIGINT))"
+    )
+
+
+def fingerprint_sql(table: str = "documents", k: int = 5) -> str:
+    """Oracle for webtext.fingerprint: min shingle hash per doc."""
+    return (
+        f"SELECT doc_id, CAST(list_min({shingle_hash_list_sql('text', k)}) "
+        f"AS BIGINT) AS fingerprint FROM {table}"
+    )
+
+
+def _mulmod64_sql(a_expr: str, const: int) -> str:
+    """(a * const) mod 2^64 without overflowing signed INT128: split a
+    into 32-bit halves — al*const < 2^96 and (ah * (const mod 2^32))
+    mod 2^32 both fit HUGEINT."""
+    lo = 1 << 32
+    return (
+        f"(((({a_expr}) % {lo}) * {const} + "
+        f"(((({a_expr}) // {lo}) * {const % lo}) % {lo}) * {lo}) % {_TWO64})"
+    )
+
+
+def _token_hash_sql(tok_var: str = "t") -> str:
+    """SQL twin of webtext._token_hashes_u64 for one token: fold
+    codepoints with h = h*257 + cp mod 2^64, then splitmix64. Returns a
+    HUGEINT expression in [0, 2^64)."""
+    cps = (
+        f"list_prepend(CAST(0 AS HUGEINT), list_transform("
+        f"range(1, length({tok_var}) + 1), i -> "
+        f"CAST(ord(substr({tok_var}, CAST(i AS BIGINT), 1)) AS HUGEINT)))"
+    )
+    fold = f"list_reduce({cps}, (a, b) -> (a * 257 + b) % {_TWO64})"
+    x = f"(({fold}) + {_SM_ADD}) % {_TWO64}"
+    z1 = _mulmod64_sql(f"xor({x}, ({x}) // {1 << 30})", _SM_M1)
+    z2 = _mulmod64_sql(f"xor({z1}, ({z1}) // {1 << 27})", _SM_M2)
+    return f"xor({z2}, ({z2}) // {1 << 31})"
+
+
+def simhash_sql(table: str = "documents") -> str:
+    """Oracle for webtext.simhash64: per-bit +/-1 votes over token
+    hashes, sign -> bit, reassembled as a signed int64."""
+    votes = (
+        "list_sum(list_transform(th, h -> CASE WHEN "
+        "(h // CAST(power(2, CAST(b AS BIGINT)) AS HUGEINT)) % 2 = 1 "
+        "THEN 1 ELSE -1 END))"
+    )
+    usim = (
+        "list_sum(list_transform(range(0, 64), b -> "
+        f"CASE WHEN {votes} > 0 THEN CAST(power(2, CAST(b AS BIGINT)) AS HUGEINT) "
+        "ELSE CAST(0 AS HUGEINT) END))"
+    )
+    return (
+        "WITH tk AS (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(trim(text), ' +'), t -> length(t) > 0) AS toks "
+        f"FROM {table}), "
+        "th AS (SELECT doc_id, "
+        f"list_transform(toks, t -> {_token_hash_sql('t')}) AS th, "
+        "len(toks) AS n FROM tk), "
+        f"s AS (SELECT doc_id, CASE WHEN n = 0 THEN CAST(0 AS HUGEINT) ELSE {usim} END AS u FROM th) "
+        f"SELECT doc_id, CAST(CASE WHEN u >= {_TWO63} THEN u - {_TWO64} ELSE u END "
+        "AS BIGINT) AS simhash FROM s"
+    )
+
+
+def minhash_pairs_sql(
+    table: str = "documents", k: int = 5, threshold: float = 0.35
+) -> str:
+    """Oracle for webtext.minhash_lsh_pairs: identical signatures (32
+    perms mod 2^31-1 over the shingle hashes), identical banding (raw
+    4-tuple keys), exact est_jaccard."""
+    a, b = webtext._minhash_params()
+    perms = ", ".join(
+        f"list_min(list_transform(hs, h -> ({int(a[i])} * h + {int(b[i])}) % {_P31}))"
+        for i in range(webtext._MINHASH_PERMS)
+    )
+    rpb = webtext._MINHASH_PERMS // webtext._LSH_BANDS
+    band_rows = ", ".join(f"({i})" for i in range(webtext._LSH_BANDS))
+    key = " || '_' || ".join(
+        f"CAST(sig[{rpb} * band + {j + 1}] AS VARCHAR)" for j in range(rpb)
+    )
+    return (
+        f"WITH sh AS (SELECT doc_id, {shingle_hash_list_sql('text', k)} AS hs FROM {table}), "
+        f"sig AS (SELECT doc_id, [{perms}] AS sig FROM sh), "
+        f"bands AS (SELECT doc_id, sig, band, {key} AS bh "
+        f"FROM sig, (VALUES {band_rows}) AS bt(band)), "
+        "pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+        "FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh "
+        "AND l.doc_id < r.doc_id), "
+        "est AS (SELECT p.doc_a, p.doc_b, "
+        "CAST(list_sum(list_transform(range(1, 33), i -> "
+        "CASE WHEN sa.sig[CAST(i AS BIGINT)] = sb.sig[CAST(i AS BIGINT)] THEN 1 ELSE 0 END)) AS INT) "
+        f"/ CAST({webtext._MINHASH_PERMS} AS INT) AS est_jaccard "
+        "FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a "
+        "JOIN sig sb ON sb.doc_id = p.doc_b) "
+        f"SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}e0"
+    )
+
+
+def ngram_pairs_sql(
+    table: str = "documents", n: int = 3, threshold: float = 0.2
+) -> str:
+    """Oracle for webtext.ngram_jaccard_pairs: same opening-bigram
+    block key, same distinct n-gram sets, exact Jaccard."""
+    return (
+        f"WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks FROM {table}), "
+        "g AS (SELECT doc_id, "
+        "toks[1] || '|' || coalesce(toks[2], '') AS block, "
+        f"list_distinct(list_transform(range(0, greatest(len(toks) - {n}, 0) + 1), "
+        f"i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))) AS grams FROM t), "
+        "j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
+        "CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard "
+        "FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id) "
+        f"SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {threshold}e0"
+    )

