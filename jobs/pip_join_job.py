@@ -80,7 +80,7 @@ def main(argv=None) -> None:
         ).withColumn("properties", F.to_json("properties"))
 
     stats = ckpt.run_checkpointed(spark, make_bucket, args.buckets, args.out, "pip_join")
-    lineage = ckpt.read_lineage(args.out)
+    lineage = ckpt.read_lineage(spark, args.out)
     print(
         json.dumps(
             {

@@ -198,7 +198,7 @@ def test_knn_cell_join_fewer_targets_than_k(spark):
 
 def test_checkpoint_resume(spark, points_df, tmp_path):
     df, _ = points_df
-    out_dir = str(tmp_path / "ck")
+    out_dir = "file://" + str(tmp_path / "ck")
     df = df.withColumn("bucket", ckpt.bucket_col(["point_id"], 4))
 
     def make(b):
@@ -207,13 +207,13 @@ def test_checkpoint_resume(spark, points_df, tmp_path):
     # first run: fail after bucket 2 (buckets 0..1 committed)
     with pytest.raises(RuntimeError):
         ckpt.run_checkpointed(spark, make, 4, out_dir, fail_on_bucket=2)
-    lin1 = ckpt.read_lineage(out_dir)
+    lin1 = ckpt.read_lineage(spark, out_dir)
     assert sorted(lin1) == [0, 1]
 
     # resume: buckets 0..1 skipped (lineage timestamps unchanged), 2..3 run
     res = ckpt.run_checkpointed(spark, make, 4, out_dir)
     assert res["skipped"] == [0, 1] and res["processed"] == [2, 3]
-    lin2 = ckpt.read_lineage(out_dir)
+    lin2 = ckpt.read_lineage(spark, out_dir)
     assert {b: lin2[b]["committed_at"] for b in (0, 1)} == {
         b: lin1[b]["committed_at"] for b in (0, 1)
     }
