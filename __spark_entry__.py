@@ -290,6 +290,34 @@ def _q_pip_rect_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("point_id", "feature_id", "loop_pos")
 
 
+def _rect_bucketed_table(spark: SparkSession) -> str:
+    """save_index_bucketed once per session: the cell index persisted as
+    a hash-bucketed table on fij_key (the non-broadcast path)."""
+    key = ("rects_bucketed", id(spark.sparkContext))
+    if key not in _INDEX_CACHE:
+        import uuid
+
+        from insideout_spark.plans.index_build import save_index_bucketed
+
+        name = f"rect_cells_bucketed_{uuid.uuid4().hex[:8]}"
+        save_index_bucketed(_rect_index(spark), name, n_buckets=16)
+        _INDEX_CACHE[key] = name
+    return _INDEX_CACHE[key]
+
+
+def _q_pip_rect_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same stab join via the bucketed co-located path: probe side
+    repartitions on fij_key, index side scans its buckets with NO
+    Exchange — the strategy for polygon layers too large to broadcast
+    (VERDICT r01 'Next round' #8). Same pip_core oracle."""
+    res = pip_join(
+        _points(spark, sf_dir), _rect_index(spark), id_cols=("point_id",),
+        include_properties=False, strategy="bucketed",
+        bucketed_table=_rect_bucketed_table(spark),
+    )
+    return res.select("point_id", "feature_id", "loop_pos")
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = webtext.cosine_topk_brute(_embs(spark, sf_dir), _ANN_QUERY_IDS, k=10)
     return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
@@ -345,6 +373,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_rect_join": _q_pip_rect,
         "pip_rect_join_salted": _q_pip_rect_salted,
         "pip_rect_join_fused": _q_pip_rect_fused,
+        "pip_rect_join_bucketed": _q_pip_rect_bucketed,
         "quality_rules": _q_quality_rules,
         "pip_count_by_feature": _q_pip_count,
         "pip_stop_on_first": _q_stop_first,
@@ -404,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pip_rect_join_salted": pip_core,
         "pip_rect_join_fused": pip_core,
+        "pip_rect_join_bucketed": pip_core,
         "quality_rules": quality,
         # literal goldens from the reference's strategy test suites:
         # rows 0,1,4 contain (fid 0, pos 1); row 1 via the interior

@@ -111,12 +111,25 @@ def run_headline(spark) -> dict[str, float]:
     )
     sec, _ = timed(lambda: pip_join(pts, island_idx, include_properties=False).count())
     q["pip_pages_island"] = sec
+
+    # 4. realistically-sized layer: 35k communes (fr-communes is ~35k
+    # features, VERDICT r01 'Next round' #9) — auto cover params
+    sec, idx35 = timed(lambda: build_index(spark, synth_communes_loops(35000)))
+    q["index_build_35k"] = sec
+    idx35.edges()
+    sec, cnt35 = timed(
+        lambda: pip_join(pts, idx35, include_properties=False).count()
+    )
+    q["pip_pages_35k"] = sec
+    q["_pip_35k_rows"] = cnt35
+    idx35.cell_index.unpersist()
     pts.unpersist()
 
     # 4+. driver-contract queries at SF_DIR
     queries = entry_mod.queries()
     for name in (
         "pip_rect_join",
+        "pip_rect_join_bucketed",
         "grid_assign_r7",
         "s2_assign_l10",
         "knn3_cell_join",

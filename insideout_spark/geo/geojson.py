@@ -47,6 +47,11 @@ def parse_feature_collection(data):
             except (TypeError, ValueError):
                 admin_level = None
         str_props = {str(k): _prop_to_str(v) for k, v in props.items()}
+        # typed fidelity (reference tools.go:253-274 keeps
+        # bool|int|string|float64|nil): the JSON form preserves every
+        # value type; the map<string,string> stays for schema-stable
+        # equality filters
+        props_json = json.dumps(props, sort_keys=True)
         if gtype == "Polygon":
             polys = [geom["coordinates"]]
         elif gtype == "MultiPolygon":
@@ -62,6 +67,7 @@ def parse_feature_collection(data):
                     "loop_pos": pos,
                     "ring": [[float(c[0]), float(c[1])] for c in outer],
                     "properties": str_props,
+                    "properties_json": props_json,
                     "admin_level": admin_level,
                 }
             )

@@ -50,6 +50,10 @@ FEATURES_SCHEMA = StructType(
         StructField("loop_pos", IntegerType(), False),
         StructField("ring", ArrayType(ArrayType(DoubleType())), False),
         StructField("properties", MapType(StringType(), StringType()), True),
+        # typed JSON form of the same properties (reference
+        # tools.go:253-274 bool|int|string|float64|nil fidelity); query
+        # with typed_prop()
+        StructField("properties_json", StringType(), True),
         StructField("admin_level", DoubleType(), True),
     ]
 )
@@ -179,12 +183,16 @@ class IndexBundle:
 
 def features_df(spark: SparkSession, loop_rows) -> DataFrame:
     """Loop rows (from geo.geojson.parse_feature_collection) -> features DataFrame."""
+    import json as _json
+
     rows = [
         (
             int(r["feature_id"]),
             int(r["loop_pos"]),
             [[float(c[0]), float(c[1])] for c in r["ring"]],
             r.get("properties") or {},
+            r.get("properties_json")
+            or _json.dumps(r.get("properties") or {}, sort_keys=True),
             r.get("admin_level"),
         )
         for r in loop_rows

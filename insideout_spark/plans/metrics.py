@@ -49,3 +49,28 @@ def filter_properties(result: DataFrame, keys, props_col: str = "properties") ->
     return result.withColumn(
         props_col, F.map_filter(F.col(props_col), lambda k, _: F.array_contains(keyset, k))
     )
+
+
+def typed_prop(key: str, dtype: str, json_col: str = "properties_json"):
+    """Typed property accessor over the JSON-preserved properties
+    (reference tools.go:253-274 keeps bool|int|string|float64|nil):
+    returns a Catalyst column of `dtype` ('boolean', 'long', 'double',
+    'string') — NULL when the key is absent or the JSON value is null.
+    A numeric filter like typed_prop('population', 'long') > 10000 runs
+    whole-stage-codegen with no per-row Python and no string-cast on
+    the user side. try_cast (not cast): under ANSI mode a
+    wrongly-typed value yields NULL instead of failing the job —
+    matching the reference's interface{} nil fallback."""
+    raw = F.get_json_object(F.col(json_col), f"$.{key}")
+    return raw.try_cast(dtype)
+
+
+def get_feature(index, feature_id: int, loop_pos: int | None = None) -> DataFrame:
+    """Single-feature fetch by id (and optionally loop index) — the
+    reference's Get(id, loop_index) API (server/server.go:312-361),
+    re-expressed as a filter on the features table (feature_id is a
+    pushdown-able predicate on the parquet-backed index)."""
+    df = index.features.filter(F.col("feature_id") == int(feature_id))
+    if loop_pos is not None:
+        df = df.filter(F.col("loop_pos") == int(loop_pos))
+    return df

@@ -172,6 +172,7 @@ def pip_join(
     strategy: str = "jvm",
     broadcast_index: bool = True,
     salt_buckets: int | None = None,
+    bucketed_table: str | None = None,
     include_properties: bool = True,
     stop_on_first: bool = False,
     ordered: bool = False,
@@ -197,6 +198,12 @@ def pip_join(
     * "salted": shuffled hash join on the stab key with explicit xS salt
       replication for polygon layers too large to broadcast; dedup via
       aggregation; ring travels as a column (no driver geometry).
+    * "bucketed": co-located join against a `save_index_bucketed` table
+      (pass `bucketed_table`): the probe side repartitions on fij_key
+      to the table's bucket count; the index side scans its buckets
+      WITHOUT an Exchange — the zero-index-shuffle alternative to
+      salting for layers too large to broadcast (reference db-vs-tree
+      strategy knob at real scale, server/server.go:73-108).
     """
     id_cols = list(id_cols)
     man = index.manifest
@@ -208,7 +215,7 @@ def pip_join(
 
     if strategy == "fused":
         result = _fused_stab(pts, index.stab_broadcast(), id_cols, lat_col, lng_col)
-    elif strategy in ("jvm", "salted"):
+    elif strategy in ("jvm", "salted", "bucketed"):
         keyed = with_fij_keys(
             pts.select(*id_cols, lat_col, lng_col), lat_col, lng_col, min_l, max_l
         )
@@ -219,6 +226,19 @@ def pip_join(
         if strategy == "jvm":
             joined = keyed.join(
                 F.broadcast(index.cell_index.select(*idx_cols)), "fij_key", "inner"
+            )
+        elif strategy == "bucketed":
+            if not bucketed_table:
+                raise ValueError("strategy='bucketed' requires bucketed_table")
+            spark = points.sparkSession
+            t = spark.table(bucketed_table).select(*idx_cols)
+            n_buckets = int(
+                spark.sql(f"DESCRIBE EXTENDED {bucketed_table}")
+                .filter(F.col("col_name") == "Num Buckets")
+                .first()["data_type"]
+            )
+            joined = keyed.repartition(n_buckets, "fij_key").join(
+                t, "fij_key", "inner"
             )
         else:
             s = int(salt_buckets or 8)
@@ -293,7 +313,9 @@ def pip_join(
     else:
         raise ValueError(f"unknown strategy: {strategy}")
 
-    props = index.features.select("feature_id", "loop_pos", "properties", "admin_level")
+    props = index.features.select(
+        "feature_id", "loop_pos", "properties", "properties_json", "admin_level"
+    )
     if include_properties:
         result = result.join(F.broadcast(props), ["feature_id", "loop_pos"], "left")
     else:  # P1 projection: strip feature payload (reference insidesvc.proto:21-24)

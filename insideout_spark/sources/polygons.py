@@ -42,7 +42,13 @@ def load_geojsonl_df(spark, path: str):
         from ..geo import geojson as geo_geojson
 
         for pdf in batches:
-            out = {k: [] for k in ("feature_id", "loop_pos", "ring", "properties", "admin_level")}
+            out = {
+                k: []
+                for k in (
+                    "feature_id", "loop_pos", "ring", "properties",
+                    "properties_json", "admin_level",
+                )
+            }
             for fid, line in zip(pdf["feature_id"], pdf["line"]):
                 line = line.strip()
                 if not line:
@@ -53,6 +59,7 @@ def load_geojsonl_df(spark, path: str):
                     out["loop_pos"].append(row["loop_pos"])
                     out["ring"].append(row["ring"])
                     out["properties"].append(row["properties"])
+                    out["properties_json"].append(row["properties_json"])
                     out["admin_level"].append(row["admin_level"])
             yield pd.DataFrame(out)
 

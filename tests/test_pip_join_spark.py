@@ -189,3 +189,63 @@ def test_build_rejects_level_above_28(spark, houat_loops):
         build_index(
             spark, houat_loops, CoverParams(10, 30, 24), CoverParams(10, 15, 16)
         )
+
+
+def test_typed_properties_roundtrip(spark, tmp_path):
+    """Typed property fidelity (reference tools.go:253-274:
+    bool/int/float64/string/nil survive): values keep their JSON types
+    through parse -> features -> save/load -> typed_prop access."""
+    import json
+
+    from insideout_spark.geo.geojson import parse_feature_collection
+    from insideout_spark.plans.index_build import build_index, load_index, save_index
+    from insideout_spark.plans.metrics import get_feature, typed_prop
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {
+                    "name": "zone-a", "population": 12345, "density": 3.25,
+                    "urban": True, "note": None, "admin_level": "4",
+                },
+                "geometry": {"type": "Polygon", "coordinates": [[
+                    [0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]
+                ]]},
+            }
+        ],
+    }
+    rows = parse_feature_collection(json.dumps(fc))
+    from insideout_spark.geo.cover import CoverParams
+
+    idx = build_index(spark, rows, CoverParams(4, 8, 16), CoverParams(4, 8, 16))
+    path = str(tmp_path / "tidx")
+    save_index(idx, path)
+    idx2 = load_index(spark, path)
+    feat = get_feature(idx2, 0, 0).select(
+        typed_prop("population", "long").alias("population"),
+        typed_prop("density", "double").alias("density"),
+        typed_prop("urban", "boolean").alias("urban"),
+        typed_prop("name", "string").alias("name"),
+        typed_prop("note", "string").alias("note"),
+        typed_prop("missing", "long").alias("missing"),
+    ).first()
+    assert feat["population"] == 12345 and isinstance(feat["population"], int)
+    assert feat["density"] == 3.25
+    assert feat["urban"] is True
+    assert feat["name"] == "zone-a"
+    assert feat["note"] is None and feat["missing"] is None
+    # typed numeric filter runs Catalyst-side
+    assert get_feature(idx2, 0).filter(typed_prop("population", "long") > 10000).count() == 1
+    assert get_feature(idx2, 0).filter(typed_prop("population", "long") > 99999).count() == 0
+
+
+def test_get_feature_api(spark, houat_index):
+    from insideout_spark.plans.metrics import get_feature
+
+    rows = get_feature(houat_index, 0, 1).collect()
+    assert len(rows) == 1
+    assert rows[0]["properties"]["nom"] == "Île-d'Houat"
+    assert get_feature(houat_index, 0).count() >= 1
+    assert get_feature(houat_index, 999).count() == 0
