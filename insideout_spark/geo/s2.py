@@ -123,28 +123,35 @@ def xyz_to_face_uv(x, y, z):
     return face, u, v
 
 
+# face_uv_to_xyz as coefficient gathers: each axis is c0 + cu*u + cv*v
+# with per-face constants in {0, +/-1} (the published FaceUVtoXYZ table)
+# — contiguous arithmetic instead of six boolean-mask writes (the
+# masked version dominated the cover-BFS profile)
+_FX = (
+    np.array([1.0, 0, 0, -1.0, 0, 0]),
+    np.array([0.0, -1.0, -1.0, 0, 0, 0]),
+    np.array([0.0, 0, 0, 0, 1.0, 1.0]),
+)
+_FY = (
+    np.array([0.0, 1.0, 0, 0, -1.0, 0]),
+    np.array([1.0, 0, 0, 0, 0, 1.0]),
+    np.array([0.0, 0, -1.0, -1.0, 0, 0]),
+)
+_FZ = (
+    np.array([0.0, 0, 1.0, 0, 0, -1.0]),
+    np.array([0.0, 0, 0, -1.0, -1.0, 0]),
+    np.array([1.0, 1.0, 0, 0, 0, 0]),
+)
+
+
 def face_uv_to_xyz(face, u, v):
     """(face,u,v) -> un-normalized xyz. Vectorized."""
     face = np.asarray(face, dtype=np.int64)
     u = np.asarray(u, dtype=np.float64)
     v = np.asarray(v, dtype=np.float64)
-    one = np.ones_like(u)
-    x = np.empty_like(u)
-    y = np.empty_like(u)
-    z = np.empty_like(u)
-    specs = {
-        0: (one, u, v),
-        1: (-u, one, v),
-        2: (-u, -v, one),
-        3: (-one, -v, -u),
-        4: (v, -one, -u),
-        5: (v, u, -one),
-    }
-    for f, (xs, ys, zs) in specs.items():
-        m = face == f
-        if not np.any(m):
-            continue
-        x[m], y[m], z[m] = xs[m], ys[m], zs[m]
+    x = _FX[0][face] + _FX[1][face] * u + _FX[2][face] * v
+    y = _FY[0][face] + _FY[1][face] * u + _FY[2][face] * v
+    z = _FZ[0][face] + _FZ[1][face] * u + _FZ[2][face] * v
     return x, y, z
 
 

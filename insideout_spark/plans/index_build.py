@@ -234,6 +234,7 @@ def build_cell_index(
                 "bb_lng1": [],
                 "bb_lat1": [],
             }
+            metas, rings = [], []
             for fid, pos, ring in zip(pdf["feature_id"], pdf["loop_pos"], pdf["ring"]):
                 ring = np.asarray([[v[0], v[1]] for v in ring], dtype=np.float64)
                 if len(ring) < 4:  # loop-validity filter (reference tools.go:122-124)
@@ -251,7 +252,14 @@ def build_cell_index(
                         "planar PIP semantics would be wrong — normalize or "
                         "split the ring before indexing"
                     )
-                inside_cells, outside_cells = geo_cover.dual_cover(ring, ip, ep)
+                metas.append((int(fid), int(pos)))
+                rings.append(ring)
+            # whole-batch BFS: geometry dedupes across rings per level
+            ins_covers = geo_cover.cover_rings(rings, ip, interior=True)
+            out_covers = geo_cover.cover_rings(rings, ep, interior=False)
+            for (fid, pos), ring, inside_cells, outside_cells in zip(
+                metas, rings, ins_covers, out_covers
+            ):
                 # cover-size guard, applied PER COVER SIDE like the
                 # reference (storage/bbolt/storage.go:363-370 skips only
                 # the interior postings, :408-414 only the exterior
@@ -310,13 +318,18 @@ def cover_guard_stats(
                 "feature_id": [], "loop_pos": [], "n_inside": [],
                 "n_outside": [], "inside_dropped": [], "outside_dropped": [],
             }
+            metas, rings = [], []
             for fid, pos, ring in zip(pdf["feature_id"], pdf["loop_pos"], pdf["ring"]):
                 ring = np.asarray([[v[0], v[1]] for v in ring], dtype=np.float64)
                 if len(ring) < 4:
                     continue
-                ins, outs = geo_cover.dual_cover(ring, ip, ep)
-                rows["feature_id"].append(int(fid))
-                rows["loop_pos"].append(int(pos))
+                metas.append((int(fid), int(pos)))
+                rings.append(ring)
+            ins_covers = geo_cover.cover_rings(rings, ip, interior=True)
+            out_covers = geo_cover.cover_rings(rings, ep, interior=False)
+            for (fid, pos), ins, outs in zip(metas, ins_covers, out_covers):
+                rows["feature_id"].append(fid)
+                rows["loop_pos"].append(pos)
                 rows["n_inside"].append(len(ins))
                 rows["n_outside"].append(len(outs))
                 rows["inside_dropped"].append(len(ins) > guard)
