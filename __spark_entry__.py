@@ -324,9 +324,11 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return webtext.lsh_bucket_ann(_embs(spark, sf_dir), _ANN_QUERY_IDS, k=10).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    """n_planes pinned (not size-derived) so the literal-hyperplane
+    DuckDB oracle reproduces the identical bucket arithmetic."""
+    return webtext.lsh_bucket_ann(
+        _embs(spark, sf_dir), _ANN_QUERY_IDS, k=10, n_planes=4, n_tables=8
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,8 +536,12 @@ def oracle_sql() -> dict[str, str]:
         "simhash64": webtext_sql.simhash_sql(),
         "minhash_lsh_pairs": webtext_sql.minhash_pairs_sql(threshold=0.35),
         "ngram_jaccard_pairs": webtext_sql.ngram_pairs_sql(threshold=0.2),
+        # sign-random-projection LSH with literal hyperplanes: same
+        # seeded planes, same bucket bits, same distinct candidate join,
+        # rounded-cosine ranking
+        "ann_lsh_top10": webtext_sql.ann_lsh_sql(_ANN_QUERY_IDS, k=10),
         # non-SQL-expressible ops intentionally omitted (rows-only):
-        # ann_lsh_top10 / ann_ivf_top10 (seeded random projections &
-        # sampled k-means have no SQL form; recall-tested in pytest vs
-        # the exact brute oracle), multimodal_features (stubbed codec).
+        # ann_ivf_top10 (sampled k-means training has no SQL form;
+        # recall/determinism-tested in pytest vs the exact brute
+        # oracle), multimodal_features (stubbed codec).
     }

@@ -509,6 +509,13 @@ def ivf_ann(
     )
 
 
+def lsh_planes(n_tables: int, n_planes: int, dim: int):
+    """The deterministic hyperplane tensor shared by lsh_bucket_ann and
+    its generated DuckDB oracle (plans/webtext_sql.ann_lsh_sql)."""
+    rng = np.random.default_rng(20240202)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
 def lsh_bucket_ann(
     embeddings: DataFrame,
     query_ids,
@@ -517,19 +524,23 @@ def lsh_bucket_ann(
     id_col: str = "vec_id",
     n_planes: int | None = None,
     n_tables: int = 8,
+    round_digits: int = 5,
 ) -> DataFrame:
     """Approximate cosine top-k: sign-random-projection LSH, `n_tables`
     independent tables; candidates = union of same-bucket vectors over
     tables; exact rescoring of candidates only. The scale path: the
     bucket join shuffles candidates, never the full cross product.
+    Ranking uses the cosine rounded to `round_digits` with id tiebreak,
+    so the DuckDB oracle (literal hyperplanes, same bucket arithmetic)
+    ranks identically despite float summation-order noise — same
+    convention as cosine_topk_brute.
     Plane count defaults to log2(n/32): ~32 vectors per bucket at any
     corpus size."""
     dim = len(embeddings.select(vec_col).first()[0])
     if n_planes is None:
         n = embeddings.count()
         n_planes = max(2, int(np.log2(max(n, 64) / 32.0)))
-    rng = np.random.default_rng(20240202)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
+    planes = lsh_planes(n_tables, n_planes, dim)
     bplanes = embeddings.sparkSession.sparkContext.broadcast(planes)
     qset = [int(q) for q in query_ids]
 
@@ -575,7 +586,9 @@ def lsh_bucket_ann(
         F.aggregate(F.transform("nv", lambda x: (x * x).cast("double")), F.lit(0.0), lambda a, x: a + x)
     )
     scored = scored.withColumn("cos_sim", dot / (qn * nn))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos_sim"), round_digits)), "neighbor_id"
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -151,3 +151,49 @@ def ngram_pairs_sql(
         "FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id) "
         f"SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {threshold}e0"
     )
+
+
+def ann_lsh_sql(
+    query_ids,
+    k: int = 10,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+    table: str = "embeddings",
+    round_digits: int = 5,
+) -> str:
+    """Oracle for webtext.lsh_bucket_ann with pinned (n_tables,
+    n_planes): the seeded hyperplanes are embedded as float literals
+    (repr round-trips to the identical double), bucket bits are the
+    same sign tests, candidates the same distinct bucket join, and
+    ranking uses the cosine ROUNDed to `round_digits` with id tiebreak
+    (the same convention that makes ann_cosine_top10 cross-engine
+    stable)."""
+    planes = webtext.lsh_planes(n_tables, n_planes, dim)
+    selects = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in planes[t][j])}]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        selects.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM e")
+    b = " UNION ALL ".join(selects)
+    qset = ", ".join(str(int(q)) for q in query_ids)
+    return (
+        f"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}), "
+        f"b AS ({b}), "
+        f"qb AS (SELECT vec_id AS query_id, tbl, bucket FROM b WHERE vec_id IN ({qset})), "
+        "cand AS (SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id "
+        "FROM qb q JOIN b ON b.tbl = q.tbl AND b.bucket = q.bucket "
+        "AND b.vec_id != q.query_id), "
+        "scored AS (SELECT c.query_id, c.neighbor_id, "
+        f"ROUND(list_dot_product(eq.v, en.v) / "
+        "(sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(en.v, en.v))), "
+        f"{round_digits}) AS cs "
+        "FROM cand c JOIN e eq ON eq.vec_id = c.query_id "
+        "JOIN e en ON en.vec_id = c.neighbor_id) "
+        "SELECT query_id, neighbor_id, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS INT) AS rank "
+        f"FROM scored QUALIFY rank <= {k}"
+    )
