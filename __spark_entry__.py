@@ -331,6 +331,16 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "rank")
 
 
+def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed candidates, exact
+    rescoring). Threshold 0.4 so the synthetic random-embedding corpus
+    yields a deterministic nonempty pair set; production dedup would
+    run 0.95+."""
+    return webtext.embedding_near_dup_pairs(
+        _embs(spark, sf_dir), threshold=0.4, n_planes=4, n_tables=8
+    )
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.ivf_ann(_embs(spark, sf_dir), _ANN_QUERY_IDS, k=10).select(
         "query_id", "neighbor_id", "rank"
@@ -392,6 +402,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top10": _q_ann_lsh,
         "ann_ivf_top10": _q_ann_ivf,
         "minhash_lsh_pairs": _q_minhash_pairs,
+        "emb_near_dup_pairs": _q_emb_near_dup,
         "simhash64": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -540,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
         # seeded planes, same bucket bits, same distinct candidate join,
         # rounded-cosine ranking
         "ann_lsh_top10": webtext_sql.ann_lsh_sql(_ANN_QUERY_IDS, k=10),
+        "emb_near_dup_pairs": webtext_sql.embedding_near_dup_sql(threshold=0.4),
         # non-SQL-expressible ops intentionally omitted (rows-only):
         # ann_ivf_top10 (sampled k-means training has no SQL form;
         # recall/determinism-tested in pytest vs the exact brute

@@ -594,3 +594,70 @@ def lsh_bucket_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    round_digits: int = 5,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the prompt's last dedup
+    variant): sign-random-projection LSH buckets generate candidate
+    pairs (never all-pairs), exact cosine rescoring keeps pairs with
+    cos >= threshold. Output (vec_a, vec_b, cos_sim) with vec_a <
+    vec_b; cos_sim rounded to `round_digits` so the literal-hyperplane
+    DuckDB oracle reproduces it exactly. Scale shape: one shuffle on
+    (table, bucket), candidate count ~ bucket sizes, map-side distinct
+    on the slim pair keys before the rescoring joins."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = lsh_planes(n_tables, n_planes, dim)
+    bplanes = embeddings.sparkSession.sparkContext.broadcast(planes)
+
+    def buckets(batches):
+        import pandas as pd
+
+        P = bplanes.value
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            rows = {"vid": [], "table": [], "bucket": []}
+            for t in range(P.shape[0]):
+                signs = (mat @ P[t].T) > 0
+                bucket = (signs.astype(np.int64) << np.arange(P.shape[1])).sum(axis=1)
+                rows["vid"].extend(pdf[id_col])
+                rows["table"].extend([t] * len(pdf))
+                rows["bucket"].extend(bucket)
+            yield pd.DataFrame(rows)
+
+    b = embeddings.select(id_col, vec_col).mapInPandas(
+        buckets, schema="vid long, table int, bucket long"
+    )
+    left = b.select(F.col("vid").alias("vec_a"), "table", "bucket")
+    right = b.select(F.col("vid").alias("vec_b"), "table", "bucket")
+    pairs = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    av = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    bv = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    scored = pairs.join(av, "vec_a").join(bv, "vec_b")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform("va", lambda x: (x * x).cast("double")), F.lit(0.0), lambda a, x: a + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform("vb", lambda x: (x * x).cast("double")), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = scored.withColumn("cos_sim", F.round(dot / (na * nb), round_digits))
+    return scored.filter(F.col("cos_sim") >= threshold).select(
+        "vec_a", "vec_b", "cos_sim"
+    )

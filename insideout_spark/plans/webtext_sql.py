@@ -197,3 +197,39 @@ def ann_lsh_sql(
         "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS INT) AS rank "
         f"FROM scored QUALIFY rank <= {k}"
     )
+
+
+def embedding_near_dup_sql(
+    threshold: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+    table: str = "embeddings",
+    round_digits: int = 5,
+) -> str:
+    """Oracle for webtext.embedding_near_dup_pairs: same literal
+    hyperplanes / bucket bits / distinct pair join / rounded cosine."""
+    planes = webtext.lsh_planes(n_tables, n_planes, dim)
+    selects = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in planes[t][j])}]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        selects.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM e")
+    b = " UNION ALL ".join(selects)
+    return (
+        f"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}), "
+        f"b AS ({b}), "
+        "pairs AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b "
+        "FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket "
+        "AND l.vec_id < r.vec_id), "
+        "scored AS (SELECT p.vec_a, p.vec_b, "
+        f"ROUND(list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), "
+        f"{round_digits}) AS cos_sim "
+        "FROM pairs p JOIN e ea ON ea.vec_id = p.vec_a "
+        "JOIN e eb ON eb.vec_id = p.vec_b) "
+        f"SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {threshold}e0"
+    )

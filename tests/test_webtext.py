@@ -242,3 +242,22 @@ def test_simhash_batch_boundaries(spark):
         if v[b] > 0:
             want |= np.uint64(1) << np.uint64(b)
     assert got[2] == int(want.view(np.int64))
+
+
+def test_embedding_near_dup_pairs(spark):
+    """Planted near-identical embeddings are found by the LSH-bucketed
+    pair op at a high threshold; unrelated random vectors are not."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((50, 64))
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(50)]
+    # 100/101 = tiny perturbations of vector 0 (cos ~ 0.999)
+    rows.append((100, [float(x) for x in base[0] + 0.01 * rng.standard_normal(64)]))
+    rows.append((101, [float(x) for x in base[0] + 0.01 * rng.standard_normal(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in webtext.embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert (0, 100) in pairs and (0, 101) in pairs and (100, 101) in pairs
+    assert all(v >= 0.95 for v in pairs.values())
+    assert not any(a < 50 and b < 50 for (a, b) in pairs)
