@@ -173,6 +173,7 @@ def pip_join(
     broadcast_index: bool = True,
     salt_buckets: int | None = None,
     bucketed_table: str | None = None,
+    broadcast_edges: bool = True,
     include_properties: bool = True,
     stop_on_first: bool = False,
     ordered: bool = False,
@@ -272,8 +273,13 @@ def pip_join(
         ).drop("bb_lng0", "bb_lat0", "bb_lng1", "bb_lat1")
         edges = index.edges()
         ecols = [F.col(c) for c in ("x1", "y1", "x2", "y2")]
+        # for polygon layers whose edge table itself exceeds the
+        # broadcast budget (continent-scale rings), fall back to a
+        # shuffled join — AQE picks the physical strategy and splits
+        # skewed features
+        edges_side = F.broadcast(edges) if broadcast_edges else edges
         joined = joined.join(
-            F.broadcast(edges),
+            edges_side,
             on=(
                 (joined["feature_id"] == edges["feature_id"])
                 & (joined["loop_pos"] == edges["loop_pos"])

@@ -249,3 +249,19 @@ def test_get_feature_api(spark, houat_index):
     assert rows[0]["properties"]["nom"] == "Île-d'Houat"
     assert get_feature(houat_index, 0).count() >= 1
     assert get_feature(houat_index, 999).count() == 0
+
+
+def test_nonbroadcast_edges_equivalent(spark, houat_index, golden_points_df):
+    """broadcast_edges=False (shuffled edge join for continent-scale
+    rings) returns identical rows to the broadcast default."""
+    a = {
+        (r["url"], r["feature_id"], r["loop_pos"], r["is_sure_hit"])
+        for r in pip_join(golden_points_df, houat_index).collect()
+    }
+    b = {
+        (r["url"], r["feature_id"], r["loop_pos"], r["is_sure_hit"])
+        for r in pip_join(
+            golden_points_df, houat_index, broadcast_edges=False
+        ).collect()
+    }
+    assert a == b and len(a) > 0
