@@ -91,9 +91,13 @@ def run_headline(spark) -> dict[str, float]:
     pts = pts.repartition(CPUS * 2).cache()
     pts.count()
     pip_join(pts.limit(1), idx, include_properties=False).count()  # plan warm
-    sec1, cnt = timed(lambda: pip_join(pts, idx, include_properties=False).count())
-    sec, _ = timed(lambda: pip_join(pts, idx, include_properties=False).count())
-    sec = min(sec, sec1)
+    # min-of-3: this sandbox VM shows +/-30% run-to-run noise; the min is
+    # the stable capability number (same convention as the scaling block)
+    runs = [
+        timed(lambda: pip_join(pts, idx, include_properties=False).count())
+        for _ in range(3)
+    ]
+    sec, cnt = min(runs)[0], runs[0][1]
     q["pip_pages_communes"] = sec
     q["_pip_pages_rows"] = cnt
     q["_pip_pages_per_sec"] = N_PAGES / sec
