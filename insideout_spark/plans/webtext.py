@@ -418,7 +418,7 @@ def ivf_ann(
     embeddings: DataFrame,
     query_ids,
     k: int = 10,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -432,6 +432,10 @@ def ivf_ann(
     exact cosine. The standard billion-scale recipe: candidate count ~
     n_probe/n_lists of the corpus, never a cross join."""
     spark = embeddings.sparkSession
+    if n_lists is None:
+        # billion-scale convention: ~sqrt(n) lists so list size ~ sqrt(n)
+        # and a probe scans ~n_probe*sqrt(n) vectors
+        n_lists = max(16, int(np.sqrt(embeddings.count())))
     # deterministic training sample (sorted ids -> stable centroids)
     rows = (
         embeddings.select(id_col, vec_col).orderBy(id_col).limit(int(sample)).collect()
