@@ -243,6 +243,7 @@ def knn_cell_join(
     active = pts
     carried = None  # DataFrame[id, lat, lng, cell_id, topk]
     r_lo, r_hi = 0, min(1, hard_cap)
+    rounds = 0
     while True:
         offs = _ring_offsets(n, r_lo, r_hi, emitted)
         # full coverage: every lng offset wraps into [0,n) (needs r>=n/2,
@@ -290,7 +291,13 @@ def knn_cell_join(
         active = active.join(
             agg.filter(done_cond).select(id_col), id_col, "left_anti"
         )
-        if active.isEmpty():
+        # the termination probe is a Spark action; skip it for the first
+        # two rounds and let them build lazily into one job — round 2's
+        # join over an (almost always) empty active set costs nothing
+        # inside the same DAG, while an isEmpty() per round costs a full
+        # materialization
+        rounds += 1
+        if rounds >= 2 and active.isEmpty():
             break
         r_lo, r_hi = r_hi + 1, min(max(2 * r_hi, r_hi + 1), hard_cap)
 
