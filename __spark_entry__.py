@@ -318,6 +318,29 @@ def _q_pip_rect_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("point_id", "feature_id", "loop_pos")
 
 
+def _q_dissolve_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector dissolve (F11 + beyond: cell unions -> merged
+    outline polygons with multipart) on two FIXED literal cell groups:
+    an L-shape + detached island (MultiPolygon) and a 2x2 block
+    (simple Polygon). Oracle = literal expected GeoJSON (deterministic
+    integer-lattice tracing; the semantic proof is the even-odd
+    property test in tests/test_dissolve.py)."""
+    from insideout_spark.geo import grid as _grid
+    from insideout_spark.plans.tiles import dissolve_tiles
+
+    R, X = _grid.RES_MULT, _grid.X_MULT
+
+    def cid(res, x, y):
+        return res * R + x * X + y
+
+    rows = (
+        [(0, cid(3, 1, 1)), (0, cid(3, 2, 1)), (0, cid(3, 1, 2)), (0, cid(3, 5, 5))]
+        + [(1, cid(3, 4, 1)), (1, cid(3, 4, 2)), (1, cid(3, 5, 1)), (1, cid(3, 5, 2))]
+    )
+    df = spark.createDataFrame(rows, "group_id int, cell long")
+    return dissolve_tiles(df, ["group_id"], "cell")
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = webtext.cosine_topk_brute(_embs(spark, sf_dir), _ANN_QUERY_IDS, k=10)
     return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
@@ -403,6 +426,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top10": _q_ann_ivf,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "emb_near_dup_pairs": _q_emb_near_dup,
+        "dissolve_golden": _q_dissolve_golden,
         "simhash64": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -552,6 +576,16 @@ def oracle_sql() -> dict[str, str]:
         # rounded-cosine ranking
         "ann_lsh_top10": webtext_sql.ann_lsh_sql(_ANN_QUERY_IDS, k=10),
         "emb_near_dup_pairs": webtext_sql.embedding_near_dup_sql(threshold=0.4),
+        # literal golden for the raster->vector dissolve (regression
+        # pin; semantics are property-tested against even-odd cell
+        # membership in tests/test_dissolve.py)
+        "dissolve_golden": (
+            '''SELECT * FROM (VALUES 
+            (0, 4, '{"type": "Feature", "properties": {}, "geometry": {"type": "MultiPolygon", "coordinates": [[[[-135.0, -67.5], [-45.0, -67.5], [-45.0, -45.0], [-90.0, -45.0], [-90.0, -22.5], [-135.0, -22.5], [-135.0, -67.5]]], [[[45.0, 22.5], [90.0, 22.5], [90.0, 45.0], [45.0, 45.0], [45.0, 22.5]]]]}}'),
+            (1, 4, '{"type": "Feature", "properties": {}, "geometry": {"type": "Polygon", "coordinates": [[[0.0, -67.5], [90.0, -67.5], [90.0, -22.5], [0.0, -22.5], [0.0, -67.5]]]}}')
+            ) AS t(group_id, n_cells, outline_geojson)'''
+        ),
+
         # non-SQL-expressible ops intentionally omitted (rows-only):
         # ann_ivf_top10 (sampled k-means training has no SQL form;
         # recall/determinism-tested in pytest vs the exact brute
