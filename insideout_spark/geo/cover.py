@@ -88,26 +88,6 @@ def cell_latlng_rect(cell_id):
     return (lng0 - dl, lng1 + dl, lat0 - dt, lat1 + dt)
 
 
-def _classify(rect, ring, ring_bbox):
-    """Classify a conservative cell rect against a ring."""
-    rx0, rx1, ry0, ry1 = rect
-    bx0, bx1, by0, by1 = ring_bbox
-    if rx1 < bx0 or rx0 > bx1 or ry1 < by0 or ry0 > by1:
-        return OUTSIDE
-    if pip.segments_intersect_rect(ring, rx0, rx1, ry0, ry1):
-        return BOUNDARY
-    # no edge crosses the rect: either rect wholly in/out of ring, or
-    # ring wholly inside rect
-    vx = ring[:, 0]
-    vy = ring[:, 1]
-    if np.any((vx >= rx0) & (vx <= rx1) & (vy >= ry0) & (vy <= ry1)):
-        return BOUNDARY  # ring contained in the rect
-    cx, cy = (rx0 + rx1) * 0.5, (ry0 + ry1) * 0.5
-    if pip.ring_contains_point(ring, cx, cy):
-        return INSIDE
-    return OUTSIDE
-
-
 def normalize_cells(cells):
     """Sort, dedup, and drop cells contained in another cell of the set."""
     if not cells:
@@ -167,61 +147,6 @@ def _ring_cap(ring):
     cx, cy, cz = cx / n, cy / n, cz / n
     cosang = np.clip(x * cx + y * cy + z * cz, -1.0, 1.0)
     return (cx, cy, cz), float(np.arccos(cosang.min()))
-
-
-def _cell_cap(cell):
-    """Conservative spherical cap of a cell from its center + corners
-    (x1.5 margin covers edge curvature at every level)."""
-    arr = np.array([cell], dtype=np.uint64)
-    clat, clng = s2.cell_center_latlng(arr)
-    vlat, vlng = s2.cell_vertices_latlng(arr)
-    cx, cy, cz = s2.latlng_to_xyz(clat[0], clng[0])
-    vx, vy, vz = s2.latlng_to_xyz(vlat[0], vlng[0])
-    cosang = np.clip(vx * cx + vy * cy + vz * cz, -1.0, 1.0)
-    return (float(cx), float(cy), float(cz)), float(np.arccos(cosang.min())) * 1.5
-
-
-def cell_latlng_rects(cells):
-    """Vectorized conservative rects for N cells. Returns
-    (valid (N,), lng0, lng1, lat0, lat1) — invalid where polar/wrapping."""
-    cells = np.asarray(cells, dtype=np.uint64)
-    n = len(cells)
-    face, u0, u1, v0, v1 = s2.cell_uv_bounds(cells)
-    ts = np.linspace(0.0, 1.0, _EDGE_SAMPLES + 1)
-    # boundary samples in uv: 4 edges x (S+1) points -> (n, 4(S+1))
-    us = u0[:, None] + (u1 - u0)[:, None] * ts[None, :]
-    vs = v0[:, None] + (v1 - v0)[:, None] * ts[None, :]
-    cu1 = np.broadcast_to(u1[:, None], us.shape)
-    cu0 = np.broadcast_to(u0[:, None], us.shape)
-    cv0 = np.broadcast_to(v0[:, None], vs.shape)
-    cv1 = np.broadcast_to(v1[:, None], vs.shape)
-    bu = np.concatenate([us, cu1, us[:, ::-1], cu0], axis=1)
-    bv = np.concatenate([cv0, vs, cv1, vs[:, ::-1]], axis=1)
-    bface = np.broadcast_to(face[:, None], bu.shape)
-    x, y, z = s2.face_uv_to_xyz(bface.ravel(), bu.ravel(), bv.ravel())
-    norm = np.sqrt(x * x + y * y + z * z)
-    lat, lng = s2.xyz_to_latlng(x / norm, y / norm, z / norm)
-    lat = lat.reshape(n, -1)
-    lng = lng.reshape(n, -1)
-    lng0, lng1 = lng.min(axis=1), lng.max(axis=1)
-    lat0, lat1 = lat.min(axis=1), lat.max(axis=1)
-    valid = (lng1 - lng0 <= 180.0) & (lat1 <= 89.9) & (lat0 >= -89.9)
-    dl = (lng1 - lng0) * 0.02 + 1e-12
-    dt = (lat1 - lat0) * 0.02 + 1e-12
-    return valid, lng0 - dl, lng1 + dl, lat0 - dt, lat1 + dt
-
-
-def _cell_caps(cells):
-    """Vectorized conservative spherical caps: (cx,cy,cz (N,)), rad (N,)."""
-    cells = np.asarray(cells, dtype=np.uint64)
-    clat, clng = s2.cell_center_latlng(cells)
-    vlat, vlng = s2.cell_vertices_latlng(cells)
-    cx, cy, cz = s2.latlng_to_xyz(clat, clng)
-    vx, vy, vz = s2.latlng_to_xyz(vlat, vlng)
-    cosang = np.clip(
-        vx * cx[:, None] + vy * cy[:, None] + vz * cz[:, None], -1.0, 1.0
-    )
-    return (cx, cy, cz), np.arccos(cosang.min(axis=1)) * 1.5
 
 
 def _cells_geo(cells):
@@ -456,14 +381,26 @@ def auto_cover_params(loop_rows, max_cells: int = 32):
             CoverParams(*DEFAULT_EXTERIOR),
         )
     med = sorted(diags)[len(diags) // 2]
+    return params_from_median_diag(med, max_cells)
+
+
+def params_from_median_diag(med: float, max_cells: int = 32):
+    """(interior, exterior) CoverParams from the median loop bbox
+    diagonal — the single formula behind both the driver-side
+    auto_cover_params and the distributed _auto_params_df path, so both
+    auto paths produce the same index for the same data.
+
+    Interior one level deeper with a 3x budget: measured at 35k
+    communes-scale loops, this converts ~44% of the exact-test
+    candidate rows into sure hits for ~20% extra build time — the
+    right trade when one build serves 10^12 queries (exterior stays
+    shallow: its depth multiplies build cost fastest). Levels cap at
+    28 (fij stab-key injectivity)."""
+    import math
+
     # S2 level whose cell edge (~90deg / 2^level on a face) matches med
     lvl = int(np.clip(round(math.log2(90.0 / max(med, 1e-6))), 0, 18))
     min_l = max(lvl - 1, 0)
-    # interior one level deeper with a 3x budget: measured at 35k
-    # communes-scale loops, this converts ~44% of the exact-test
-    # candidate rows into sure hits for ~20% extra build time — the
-    # right trade when one build serves 10^12 queries (exterior stays
-    # shallow: its depth multiplies build cost fastest)
     return (
         CoverParams(min_l, min(min_l + 5, 28), max_cells * 3),
         CoverParams(min_l, min(min_l + 3, 28), max_cells),

@@ -55,14 +55,21 @@ def read_lineage(spark: SparkSession, out_dir: str) -> dict[int, dict]:
     """Committed lineage records keyed by bucket. Reads through Spark
     (glob over the lineage dir) so HDFS/S3 URIs work unchanged; a
     missing directory is an empty lineage."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = (
             spark.read.schema(LINEAGE_SCHEMA)
             .json(f"{out_dir}/{LINEAGE_DIR}/bucket=*")
             .collect()
         )
-    except Exception:  # path-not-found on first run (any filesystem)
-        return {}
+    except AnalysisException as e:
+        # ONLY a missing lineage dir means "fresh run"; any other read
+        # failure (throttling, permissions, corruption) must surface —
+        # swallowing it would silently recompute every bucket
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return {}
+        raise
     return {int(r["bucket"]): r.asDict() for r in rows if r["bucket"] is not None}
 
 

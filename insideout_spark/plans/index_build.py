@@ -369,8 +369,6 @@ def make_manifest(
 def _auto_params_df(features: DataFrame):
     """auto_cover_params computed distributed: per-loop bbox diagonal via
     Catalyst array functions, median via exact percentile."""
-    import math
-
     xs = F.transform("ring", lambda v: v[0])
     ys = F.transform("ring", lambda v: v[1])
     diag = F.sqrt(
@@ -378,14 +376,9 @@ def _auto_params_df(features: DataFrame):
         + F.pow(F.array_max(ys) - F.array_min(ys), F.lit(2.0))
     )
     med = features.select(diag.alias("d")).agg(F.expr("percentile(d, 0.5)")).first()[0]
-    lvl = int(min(max(round(math.log2(90.0 / max(float(med or 1e-6), 1e-6))), 0), 18))
-    min_l = max(lvl - 1, 0)
-    from ..geo.cover import CoverParams
-
-    return (
-        CoverParams(min_l, min(min_l + 4, 30), 64),
-        CoverParams(min_l, min(min_l + 3, 30), 32),
-    )
+    # same formula as the driver-side auto path — both produce the same
+    # index for the same data
+    return geo_cover.params_from_median_diag(float(med or 1e-6))
 
 
 def build_index(

@@ -238,8 +238,11 @@ def knn_cell_join(
         F.col("dist_sq").alias("dist_sq"), F.col(target_id_col).alias("tid")
     )
     emitted: set = set()
+    # per-round aggs are persisted (each feeds both its done slice and
+    # the next round's carried state, and all of them feed the final
+    # union) — they stay cached for the lifetime of the returned
+    # DataFrame; state is bounded at <= k structs per point
     done_parts: list[DataFrame] = []
-    persisted: list[DataFrame] = []
     active = pts
     carried = None  # DataFrame[id, lat, lng, cell_id, topk]
     r_lo, r_hi = 0, min(1, hard_cap)
@@ -283,7 +286,6 @@ def knn_cell_join(
         g = r_hi * step
         done_cond = F.col("kth").isNotNull() & (F.col("kth") <= F.lit(g * g))
         agg = agg.persist()
-        persisted.append(agg)
         done_parts.append(agg.filter(done_cond))
         carried = agg.filter(~done_cond)
         # points with zero candidates so far are absent from agg but must

@@ -203,6 +203,9 @@ def minhash_lsh_pairs(
     """Near-dup candidate pairs via banded LSH, verified by signature-
     estimated Jaccard >= threshold. shingle->minhash->band->bucket-join:
     one shuffle on band hash, self-join within buckets only."""
+    # cached: sigs feed the band explode AND both re-attach joins; the
+    # cache lives until the session evicts it — at true corpus scale
+    # write signatures to a table instead of recomputing per run
     sigs = minhash_signatures(docs, text_col, k).cache()
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
     # band key = the raw 4-tuple (stringified), NOT a hash of it: the
@@ -295,7 +298,11 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            toks_per_doc = [[w for w in t.split(" ") if w] for t in pdf[text_col]]
+            # no-arg split: ANY whitespace (newlines/tabs included), so
+            # tokens can never contain the '\n' join separator used by
+            # _token_hashes_u64 (a newline inside a token desynced the
+            # hash array from the token count)
+            toks_per_doc = [t.split() for t in pdf[text_col]]
             counts = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
             flat = [w for ts in toks_per_doc for w in ts]
             out = np.zeros(len(pdf), dtype=np.uint64)
@@ -336,10 +343,12 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
+    # try_element_at: ANSI element_at THROWS on out-of-bounds, so a
+    # single one-token document would kill the whole job
     block = F.concat_ws(
         "|",
-        F.element_at(toks, 1),
-        F.coalesce(F.element_at(toks, 2), F.lit("")),
+        F.try_element_at(toks, F.lit(1)),
+        F.coalesce(F.try_element_at(toks, F.lit(2)), F.lit("")),
     )
     d = docs.select("doc_id", block.alias("block"), grams.alias("grams"))
     a = d.select(F.col("doc_id").alias("doc_a"), "block", F.col("grams").alias("ga"))

@@ -89,7 +89,8 @@ def simhash_sql(table: str = "documents") -> str:
     )
     return (
         "WITH tk AS (SELECT doc_id, "
-        "list_filter(regexp_split_to_array(trim(text), ' +'), t -> length(t) > 0) AS toks "
+        # any-whitespace split + empty filter == python str.split()
+        "list_filter(regexp_split_to_array(text, '[ \\t\\r\\n]+'), t -> length(t) > 0) AS toks "
         f"FROM {table}), "
         "th AS (SELECT doc_id, "
         f"list_transform(toks, t -> {_token_hash_sql('t')}) AS th, "
@@ -153,6 +154,13 @@ def ngram_pairs_sql(
     )
 
 
+def _plane_literal_sql(plane) -> str:
+    """Hyperplane vector as a DuckDB DOUBLE[] literal. Every component
+    goes through CAST('<repr>' AS DOUBLE) per the repo's oracle-decimal
+    rule (bare decimals parse as DECIMAL)."""
+    return "[" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in plane) + "]"
+
+
 def ann_lsh_sql(
     query_ids,
     k: int = 10,
@@ -173,7 +181,7 @@ def ann_lsh_sql(
     selects = []
     for t in range(n_tables):
         bits = " + ".join(
-            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in planes[t][j])}]) > 0 "
+            f"(CASE WHEN list_dot_product(v, {_plane_literal_sql(planes[t][j])}) > 0 "
             f"THEN {1 << j} ELSE 0 END)"
             for j in range(n_planes)
         )
@@ -213,7 +221,7 @@ def embedding_near_dup_sql(
     selects = []
     for t in range(n_tables):
         bits = " + ".join(
-            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in planes[t][j])}]) > 0 "
+            f"(CASE WHEN list_dot_product(v, {_plane_literal_sql(planes[t][j])}) > 0 "
             f"THEN {1 << j} ELSE 0 END)"
             for j in range(n_planes)
         )

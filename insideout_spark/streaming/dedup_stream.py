@@ -37,23 +37,26 @@ def dedup_stream(
 
         n = state.get[0] if state.exists else 0
         first_n = n
-        out = []
+        # min url over the WHOLE micro-batch: a key's rows may span
+        # several Arrow chunks, and the smallest url can arrive in a
+        # later chunk
+        first_url = None
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            if n == 0:
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "text_md5": [key[0]],
-                            "url": [pdf["url"].min()],
-                            "n_seen_before": [first_n],
-                        }
-                    )
-                )
+            m = pdf["url"].min()
+            if first_url is None or m < first_url:
+                first_url = m
             n += len(pdf)
         state.update((int(n),))
-        yield from out
+        if first_n == 0 and first_url is not None:
+            yield pd.DataFrame(
+                {
+                    "text_md5": [key[0]],
+                    "url": [first_url],
+                    "n_seen_before": [first_n],
+                }
+            )
 
     return keyed.applyInPandasWithState(
         fn,
