@@ -129,13 +129,24 @@ def _prepare(spark: SparkSession) -> None:
     if key in _PREPARED:
         return
     zip_path = os.path.join(_REPO_ROOT, "dist", "insideout_spark.zip")
-    if not os.path.exists(zip_path):
+    pkg_dir = os.path.join(_REPO_ROOT, "insideout_spark")
+    newest_src = max(
+        (
+            os.path.getmtime(os.path.join(r, f))
+            for r, _, fs in os.walk(pkg_dir)
+            for f in fs
+            if f.endswith(".py")
+        ),
+        default=0.0,
+    )
+    # rebuild when any source file is newer — a stale zip would ship
+    # outdated code to executor python workers
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
         import zipfile
 
         os.makedirs(os.path.dirname(zip_path), exist_ok=True)
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
-            pkg = os.path.join(_REPO_ROOT, "insideout_spark")
-            for root, _, files in os.walk(pkg):
+            for root, _, files in os.walk(pkg_dir):
                 if "__pycache__" in root:
                     continue
                 for f in files:
