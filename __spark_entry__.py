@@ -552,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_counts": (
             "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_ws_tokens, "
+            f"CAST(len(regexp_extract_all(text, '{webtext.BPE_SPLIT_PATTERN}')) AS BIGINT) AS n_bpe_pieces, "
             "CAST(CEIL(strlen(text) / 4.0e0) AS BIGINT) AS n_bpe_budget FROM documents"
         ),
         "ann_cosine_top10": (

@@ -116,13 +116,24 @@ def quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer classes (letters / digits / punctuation
+# runs, optionally space-prefixed), WITHOUT lookahead so Java regex
+# (Spark) and RE2 (DuckDB) tokenize identically
+BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish proxy: ceil(bytes/4) 'subword'
-    budget — both exact integer arithmetic."""
+    """Whitespace tokens + two BPE-ish proxies: a regex pre-tokenizer
+    piece count (GPT-2-style split classes) and the classic
+    ceil(bytes/4) budget — all exact integer arithmetic, all
+    Catalyst-side."""
     toks = F.split(F.trim(F.col(text_col)), " +")
     return docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_pieces"),
         F.ceil(F.octet_length(text_col) / F.lit(4.0)).cast("long").alias("n_bpe_budget"),
     )
 
