@@ -598,8 +598,12 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(group_id, n_cells, outline_geojson)'''
         ),
 
-        # non-SQL-expressible ops intentionally omitted (rows-only):
-        # ann_ivf_top10 (sampled k-means training has no SQL form;
-        # recall/determinism-tested in pytest vs the exact brute
-        # oracle), multimodal_features (stubbed codec).
+        # the synthetic multimodal payload is sha256-hex bytes, so the
+        # fake-decode stats replay exactly in SQL (the REAL codec stays
+        # a declared stub; this gates the plumbing + stat arithmetic)
+        "multimodal_features": webtext_sql.multimodal_features_sql(),
+        # the single non-SQL-expressible op intentionally omitted
+        # (rows-only): ann_ivf_top10 — sampled k-means training has no
+        # SQL form; recall/determinism-tested in pytest vs the exact
+        # brute oracle.
     }

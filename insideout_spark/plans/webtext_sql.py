@@ -241,3 +241,28 @@ def embedding_near_dup_sql(
         "JOIN e eb ON eb.vec_id = p.vec_b) "
         f"SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {threshold}e0"
     )
+
+
+def multimodal_features_sql(table: str = "documents") -> str:
+    """Oracle for plans/multimodal.extract_media_features over
+    synth_media: the synthetic payload is the utf-8 bytes of
+    sha256(doc_id), so DuckDB replays the fake-decode stats exactly —
+    byte mean is exact integer arithmetic in float64; the std is
+    rounded to 6 digits on both sides (pairwise-vs-sequential summation
+    ulp)."""
+    return (
+        "WITH m AS (SELECT doc_id, "
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' "
+        "WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type, "
+        "doc_id % 640 + 32 AS w, doc_id % 480 + 24 AS h, "
+        f"sha256(CAST(doc_id AS VARCHAR)) AS hex FROM {table}), "
+        "c AS (SELECT doc_id, media_type, w, h, "
+        "list_transform(range(1, length(hex) + 1), "
+        "i -> ord(substr(hex, CAST(i AS INT), 1))) AS cps FROM m), "
+        "s AS (SELECT doc_id, media_type, w, h, cps, "
+        "list_avg(cps) AS feat_mean FROM c) "
+        "SELECT doc_id, media_type, feat_mean, "
+        "ROUND(sqrt(list_avg(list_transform(cps, "
+        "x -> (x - feat_mean) * (x - feat_mean)))), 6) AS feat_std, "
+        "CAST(w AS DOUBLE) / CAST(h AS DOUBLE) AS aspect FROM s"
+    )
