@@ -556,7 +556,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CEIL(strlen(text) / 4.0e0) AS BIGINT) AS n_bpe_budget FROM documents"
         ),
         "ann_cosine_top10": (
-            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+            "x -> FLOOR(x * 1048576.0e0 + 0.5e0)) AS v FROM embeddings), "
             f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)), "
             "pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
             "ROUND(list_dot_product(q.qv, e.v) / "

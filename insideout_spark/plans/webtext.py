@@ -377,6 +377,24 @@ def ngram_jaccard_pairs(
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
 
+# 20-bit quantization scale for similarity scoring: embeddings become
+# integer-valued doubles, so every dot product / squared norm is EXACT
+# integer arithmetic in float64 (|q| < 2^23, products < 2^46, sums <
+# 2^53) — bit-identical across numpy BLAS, Catalyst folds, and DuckDB
+# list_dot_product regardless of summation order or FMA. Without this,
+# cross-engine ulp noise flips ROUNDed scores at digit boundaries
+# (observed once in 715 pairs at sf0.1).
+_QSCALE = float(1 << 20)
+
+
+def _quantize(arr: np.ndarray) -> np.ndarray:
+    return np.floor(arr * _QSCALE + 0.5)
+
+
+def _quantize_col(col):
+    """Catalyst twin of _quantize for an array<double> element."""
+    return F.floor(col * F.lit(_QSCALE) + F.lit(0.5)).cast("double")
+
 
 def cosine_topk_brute(
     embeddings: DataFrame,
@@ -388,12 +406,13 @@ def cosine_topk_brute(
 ) -> DataFrame:
     """Brute-force cosine top-k: broadcast the full matrix, vectorized
     numpy scoring per Arrow batch of queries. Ranking uses the score
-    rounded to `round_digits` with id tiebreak so an independent oracle
-    (DuckDB) ranks identically despite float summation-order noise."""
+    rounded to `round_digits` with id tiebreak, and scoring runs on
+    20-bit-quantized vectors (exact integer dot products) so an
+    independent oracle (DuckDB) computes bit-identical values."""
     spark = embeddings.sparkSession
     rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    mat = _quantize(np.array([r[vec_col] for r in rows], dtype=np.float64))
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, mat, norms))
     qset = [int(q) for q in query_ids]
@@ -410,7 +429,7 @@ def cosine_topk_brute(
         for pdf in batches:
             out_q, out_n, out_r, out_s = [], [], [], []
             for qid, qv in zip(pdf["query_id"], pdf["qv"]):
-                q = np.asarray(qv, dtype=np.float64)
+                q = _quantize(np.asarray(qv, dtype=np.float64))
                 qn = np.sqrt((q * q).sum())
                 cos = np.round(mat @ q / (norms * qn), rd)
                 mask = ids != qid
@@ -535,9 +554,11 @@ def ivf_ann(
 
 def lsh_planes(n_tables: int, n_planes: int, dim: int):
     """The deterministic hyperplane tensor shared by lsh_bucket_ann and
-    its generated DuckDB oracle (plans/webtext_sql.ann_lsh_sql)."""
+    its generated DuckDB oracle (plans/webtext_sql.ann_lsh_sql) —
+    20-bit-quantized so the sign tests are exact integer arithmetic in
+    both engines."""
     rng = np.random.default_rng(20240202)
-    return rng.standard_normal((n_tables, n_planes, dim))
+    return _quantize(rng.standard_normal((n_tables, n_planes, dim)))
 
 
 def lsh_bucket_ann(
@@ -573,7 +594,7 @@ def lsh_bucket_ann(
 
         P = bplanes.value
         for pdf in batches:
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = _quantize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
             rows = {"vid": [], "table": [], "bucket": []}
             for t in range(P.shape[0]):
                 signs = (mat @ P[t].T) > 0
@@ -595,8 +616,9 @@ def lsh_bucket_ann(
         .select("query_id", F.col("vid").alias("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    qv = embeddings.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    nv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    quant = F.transform(F.col(vec_col), _quantize_col)
+    qv = embeddings.select(F.col(id_col).alias("query_id"), quant.alias("qv"))
+    nv = embeddings.select(F.col(id_col).alias("neighbor_id"), quant.alias("nv"))
     scored = cand.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
     dot = F.aggregate(
         F.zip_with("qv", "nv", lambda x, y: (x * y).cast("double")),
@@ -646,7 +668,7 @@ def embedding_near_dup_pairs(
 
         P = bplanes.value
         for pdf in batches:
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = _quantize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
             rows = {"vid": [], "table": [], "bucket": []}
             for t in range(P.shape[0]):
                 signs = (mat @ P[t].T) > 0
@@ -667,8 +689,9 @@ def embedding_near_dup_pairs(
         .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    av = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    bv = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    quant = F.transform(F.col(vec_col), _quantize_col)
+    av = embeddings.select(F.col(id_col).alias("vec_a"), quant.alias("va"))
+    bv = embeddings.select(F.col(id_col).alias("vec_b"), quant.alias("vb"))
     scored = pairs.join(av, "vec_a").join(bv, "vec_b")
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: (x * y).cast("double")),

@@ -189,7 +189,8 @@ def ann_lsh_sql(
     b = " UNION ALL ".join(selects)
     qset = ", ".join(str(int(q)) for q in query_ids)
     return (
-        f"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}), "
+        f"WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> FLOOR(x * 1048576.0e0 + 0.5e0)) AS v FROM {table}), "
         f"b AS ({b}), "
         f"qb AS (SELECT vec_id AS query_id, tbl, bucket FROM b WHERE vec_id IN ({qset})), "
         "cand AS (SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id "
@@ -228,7 +229,8 @@ def embedding_near_dup_sql(
         selects.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM e")
     b = " UNION ALL ".join(selects)
     return (
-        f"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}), "
+        f"WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> FLOOR(x * 1048576.0e0 + 0.5e0)) AS v FROM {table}), "
         f"b AS ({b}), "
         "pairs AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b "
         "FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket "
