@@ -249,6 +249,19 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("point_id", "target_id", "dist_sq", F.col("rank").cast("int").alias("rank"))
 
 
+def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast/oracle kNN path (vectorized numpy top-k per Arrow
+    batch) gated against the same DuckDB oracle as the cell-ring
+    strategy — both physical paths must produce identical rows."""
+    from insideout_spark.plans.knn import knn_brute
+
+    res = knn_brute(
+        _points(spark, sf_dir), _targets(spark, sf_dir), k=3,
+        id_col="point_id", target_id_col="target_id",
+    )
+    return res.select("point_id", "target_id", "dist_sq", F.col("rank").cast("int").alias("rank"))
+
+
 def _q_event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 timer-aggregate analog: count/min/max/p50/p99 of event values
     per type — exact (order-independent) percentile, so the DuckDB
@@ -427,6 +440,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cell_bounds": _q_grid_bounds,
         "s2_assign_l10": _q_s2_assign,
         "knn3_cell_join": _q_knn,
+        "knn3_brute": _q_knn_brute,
         "event_value_stats": _q_event_value_stats,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
@@ -520,6 +534,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM cells"
         ),
         "knn3_cell_join": (
+            f"WITH pts AS ({POINTS_SQL}), tgt AS ({TARGETS_SQL}) "
+            "SELECT p.point_id, t.target_id, "
+            "(p.lat - t.lat) * (p.lat - t.lat) + (p.lng - t.lng) * (p.lng - t.lng) AS dist_sq, "
+            "CAST(row_number() OVER (PARTITION BY p.point_id ORDER BY "
+            "(p.lat - t.lat) * (p.lat - t.lat) + (p.lng - t.lng) * (p.lng - t.lng), t.target_id) AS INT) AS rank "
+            "FROM pts p, tgt t QUALIFY rank <= 3"
+        ),
+        "knn3_brute": (
             f"WITH pts AS ({POINTS_SQL}), tgt AS ({TARGETS_SQL}) "
             "SELECT p.point_id, t.target_id, "
             "(p.lat - t.lat) * (p.lat - t.lat) + (p.lng - t.lng) * (p.lng - t.lng) AS dist_sq, "
