@@ -125,6 +125,11 @@ def run_headline(spark) -> dict[str, float]:
     q["pip_pages_island"] = best_of(
         lambda: pip_join(pts, island_idx, include_properties=False).count()
     )
+    # free superseded caches before the 35k block: leftover broadcasts +
+    # cell caches add executor memory pressure that shows up as 3-5x
+    # noise on the following queries
+    island_idx.cell_index.unpersist()
+    idx.cell_index.unpersist()
 
     # 4. realistically-sized layer: 35k communes (fr-communes is ~35k
     # features, VERDICT r01 'Next round' #9) — auto cover params
