@@ -265,3 +265,56 @@ def test_nonbroadcast_edges_equivalent(spark, houat_index, golden_points_df):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_random_layer_differential(spark):
+    """Randomized differential test through the full auto-params path:
+    a fresh wobbly multi-polygon layer + random points, every physical
+    strategy vs the brute exact-PIP oracle. Guards the whole
+    cover->index->join chain (incl. the round-2 deeper auto interior
+    covers) against subtle conservativeness regressions."""
+    import math
+
+    import pandas as pd
+
+    rng = np.random.default_rng(97)
+    loops = []
+    for fid in range(30):
+        cx = rng.uniform(-3.0, 6.0)
+        cy = rng.uniform(44.0, 49.0)
+        nv = int(rng.integers(6, 24))
+        radii = rng.uniform(0.05, 0.35, nv)
+        ring = []
+        for k in range(nv):
+            ang = 2 * math.pi * k / nv
+            ring.append([cx + radii[k] * math.cos(ang), cy + radii[k] * math.sin(ang)])
+        ring.append(list(ring[0]))
+        loops.append({"feature_id": fid, "loop_pos": 0, "ring": ring,
+                      "properties": {}, "admin_level": None})
+    from insideout_spark.plans.index_build import build_index
+
+    idx = build_index(spark, loops)  # auto params path
+    pts = pd.DataFrame({
+        "point_id": np.arange(3000, dtype=np.int64),
+        "lat": rng.uniform(43.5, 49.5, 3000),
+        "lng": rng.uniform(-3.5, 6.5, 3000),
+    })
+    pdf = spark.createDataFrame(pts)
+
+    oracle = set()
+    rings = {r["feature_id"]: np.asarray(r["ring"]) for r in loops}
+    for fid, ring in rings.items():
+        inside = geo_pip.points_in_ring(pts["lng"].to_numpy(), pts["lat"].to_numpy(), ring)
+        for pid in pts["point_id"].to_numpy()[inside]:
+            oracle.add((int(pid), fid, 0))
+    assert len(oracle) > 100  # the layer actually covers points
+
+    for strategy in ("jvm", "fused", "salted"):
+        got = {
+            (r["point_id"], r["feature_id"], r["loop_pos"])
+            for r in pip_join(
+                pdf, idx, id_cols=("point_id",), include_properties=False,
+                strategy=strategy,
+            ).collect()
+        }
+        assert got == oracle, strategy
