@@ -130,18 +130,22 @@ def _prepare(spark: SparkSession) -> None:
         return
     zip_path = os.path.join(_REPO_ROOT, "dist", "insideout_spark.zip")
     pkg_dir = os.path.join(_REPO_ROOT, "insideout_spark")
-    newest_src = max(
-        (
-            os.path.getmtime(os.path.join(r, f))
-            for r, _, fs in os.walk(pkg_dir)
-            for f in fs
-            if f.endswith(".py")
-        ),
-        default=0.0,
-    )
-    # rebuild when any source file is newer — a stale zip would ship
-    # outdated code to executor python workers
-    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
+    src_files = {
+        os.path.relpath(os.path.join(r, f), _REPO_ROOT)
+        for r, _, fs in os.walk(pkg_dir)
+        for f in fs
+        if f.endswith(".py") and "__pycache__" not in r
+    }
+    newest_src = max((os.path.getmtime(os.path.join(_REPO_ROOT, f)) for f in src_files), default=0.0)
+    # rebuild when any source file is newer OR the zip's member set
+    # differs (a deleted module must not keep shipping from a stale zip)
+    stale = not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src
+    if not stale:
+        import zipfile as _zf
+
+        with _zf.ZipFile(zip_path) as z:
+            stale = set(z.namelist()) != src_files
+    if stale:
         import zipfile
 
         os.makedirs(os.path.dirname(zip_path), exist_ok=True)
@@ -467,6 +471,19 @@ def _sql_word_hits(word: str) -> str:
     )
 
 
+# shared by knn3_cell_join and knn3_brute: both physical kNN paths must
+# match the same oracle
+def _knn3_oracle() -> str:
+    return (
+            f"WITH pts AS ({POINTS_SQL}), tgt AS ({TARGETS_SQL}) "
+            "SELECT p.point_id, t.target_id, "
+            "(p.lat - t.lat) * (p.lat - t.lat) + (p.lng - t.lng) * (p.lng - t.lng) AS dist_sq, "
+            "CAST(row_number() OVER (PARTITION BY p.point_id ORDER BY "
+            "(p.lat - t.lat) * (p.lat - t.lat) + (p.lng - t.lng) * (p.lng - t.lng), t.target_id) AS INT) AS rank "
+            "FROM pts p, tgt t QUALIFY rank <= 3"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     rects = _rects_values_sql()
     pip_core = (
@@ -533,22 +550,8 @@ def oracle_sql() -> dict[str, str]:
             f"-90.0e0 + (grid_cell_r7 % {geo_grid.X_MULT}) * (180.0e0 / 128) + (180.0e0 / 128) AS cell_lat1 "
             "FROM cells"
         ),
-        "knn3_cell_join": (
-            f"WITH pts AS ({POINTS_SQL}), tgt AS ({TARGETS_SQL}) "
-            "SELECT p.point_id, t.target_id, "
-            "(p.lat - t.lat) * (p.lat - t.lat) + (p.lng - t.lng) * (p.lng - t.lng) AS dist_sq, "
-            "CAST(row_number() OVER (PARTITION BY p.point_id ORDER BY "
-            "(p.lat - t.lat) * (p.lat - t.lat) + (p.lng - t.lng) * (p.lng - t.lng), t.target_id) AS INT) AS rank "
-            "FROM pts p, tgt t QUALIFY rank <= 3"
-        ),
-        "knn3_brute": (
-            f"WITH pts AS ({POINTS_SQL}), tgt AS ({TARGETS_SQL}) "
-            "SELECT p.point_id, t.target_id, "
-            "(p.lat - t.lat) * (p.lat - t.lat) + (p.lng - t.lng) * (p.lng - t.lng) AS dist_sq, "
-            "CAST(row_number() OVER (PARTITION BY p.point_id ORDER BY "
-            "(p.lat - t.lat) * (p.lat - t.lat) + (p.lng - t.lng) * (p.lng - t.lng), t.target_id) AS INT) AS rank "
-            "FROM pts p, tgt t QUALIFY rank <= 3"
-        ),
+        "knn3_cell_join": _knn3_oracle(),
+        "knn3_brute": _knn3_oracle(),
         "event_value_stats": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
             "min(value) AS v_min, max(value) AS v_max, "
@@ -578,8 +581,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CEIL(strlen(text) / 4.0e0) AS BIGINT) AS n_bpe_budget FROM documents"
         ),
         "ann_cosine_top10": (
-            "WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
-            "x -> FLOOR(x * 1048576.0e0 + 0.5e0)) AS v FROM embeddings), "
+            "WITH e AS (SELECT vec_id, "
+            f"{webtext_sql._quant_list_sql('embedding::DOUBLE[]')} AS v FROM embeddings), "
             f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)), "
             "pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
             "ROUND(list_dot_product(q.qv, e.v) / "

@@ -126,10 +126,10 @@ def run_headline(spark) -> dict[str, float]:
         lambda: pip_join(pts, island_idx, include_properties=False).count()
     )
     # free superseded caches before the 35k block: leftover broadcasts +
-    # cell caches add executor memory pressure that shows up as 3-5x
-    # noise on the following queries
-    island_idx.cell_index.unpersist()
-    idx.cell_index.unpersist()
+    # cell/edge caches add executor memory pressure that shows up as
+    # 3-5x noise on the following queries
+    island_idx.release()
+    idx.release()
 
     # 4. realistically-sized layer: 35k communes (fr-communes is ~35k
     # features, VERDICT r01 'Next round' #9) — auto cover params
@@ -142,7 +142,7 @@ def run_headline(spark) -> dict[str, float]:
     ]
     q["pip_pages_35k"] = min(r[0] for r in runs35)
     q["_pip_35k_rows"] = runs35[0][1]
-    idx35.cell_index.unpersist()
+    idx35.release()
     pts.unpersist()
 
     # 4+. driver-contract queries at SF_DIR

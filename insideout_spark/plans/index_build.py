@@ -151,6 +151,21 @@ class IndexBundle:
             self._edges_df.count()
         return self._edges_df
 
+    def release(self) -> None:
+        """Free everything this index pinned: cached cell/edge
+        DataFrames and hydrated broadcasts. Call when a session moves
+        on to another index (long benches, notebooks) — leftover caches
+        otherwise build executor memory pressure."""
+        self.cell_index.unpersist()
+        if getattr(self, "_edges_df", None) is not None:
+            self._edges_df.unpersist()
+            self._edges_df = None
+        for attr in ("_rings_bc", "_stab_bc"):
+            bc = getattr(self, attr, None)
+            if bc is not None:
+                bc.unpersist()
+                setattr(self, attr, None)
+
     def stab_broadcast(self):
         """Broadcast the stab-ready index: cell ids sorted for binary
         search (the bbolt B+tree / insidetree analog — reference

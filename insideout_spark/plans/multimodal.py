@@ -56,16 +56,17 @@ def _decode_image_real(payload: bytes):  # pragma: no cover
 
 def _fake_decode_stats(payloads) -> np.ndarray:
     """Deterministic 'pixel stats' from payload bytes — stands in for the
-    decoded-image mean/std until a codec is available. The std is
-    rounded to 6 digits: numpy's pairwise summation and the DuckDB
-    oracle's sequential list_avg differ in the last ulp, and the round
-    makes the driver's value-hash comparison engine-independent (the
-    mean is exact — integer byte sums are exact in float64)."""
+    decoded-image mean/std until a codec is available. No rounding
+    needed for cross-engine parity: with 64 byte values every
+    intermediate (integer sums, /64 dyadic mean, deviations with
+    denominator 64, squares with denominator 4096, their sum) is
+    exactly representable in float64 regardless of summation order, so
+    the std is bit-identical in numpy and the DuckDB oracle."""
     out = np.empty((len(payloads), 2), dtype=np.float64)
     for i, p in enumerate(payloads):
         arr = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.float64)
         out[i, 0] = arr.mean() if len(arr) else 0.0
-        out[i, 1] = round(float(arr.std()), 6) if len(arr) else 0.0
+        out[i, 1] = float(arr.std()) if len(arr) else 0.0
     return out
 
 

@@ -561,6 +561,49 @@ def lsh_planes(n_tables: int, n_planes: int, dim: int):
     return _quantize(rng.standard_normal((n_tables, n_planes, dim)))
 
 
+def _lsh_bucket_df(embeddings: DataFrame, planes, vec_col: str, id_col: str) -> DataFrame:
+    """(vid, table, bucket) rows: sign-random-projection buckets over
+    quantized vectors — shared by lsh_bucket_ann and
+    embedding_near_dup_pairs (and mirrored by the SQL oracles)."""
+    bplanes = embeddings.sparkSession.sparkContext.broadcast(planes)
+
+    def buckets(batches):
+        import pandas as pd
+
+        P = bplanes.value
+        for pdf in batches:
+            mat = _quantize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            rows = {"vid": [], "table": [], "bucket": []}
+            for t in range(P.shape[0]):
+                signs = (mat @ P[t].T) > 0
+                bucket = (signs.astype(np.int64) << np.arange(P.shape[1])).sum(axis=1)
+                rows["vid"].extend(pdf[id_col])
+                rows["table"].extend([t] * len(pdf))
+                rows["bucket"].extend(bucket)
+            yield pd.DataFrame(rows)
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        buckets, schema="vid long, table int, bucket long"
+    )
+
+
+def _quantized_cosine(a_col: str, b_col: str):
+    """Exact quantized cosine between two array<double> columns (every
+    product/sum an exactly-representable integer in float64)."""
+    dot = F.aggregate(
+        F.zip_with(a_col, b_col, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a_col, lambda x: (x * x).cast("double")), F.lit(0.0), lambda a, x: a + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b_col, lambda x: (x * x).cast("double")), F.lit(0.0), lambda a, x: a + x)
+    )
+    return dot / (na * nb)
+
+
 def lsh_bucket_ann(
     embeddings: DataFrame,
     query_ids,
@@ -586,27 +629,8 @@ def lsh_bucket_ann(
         n = embeddings.count()
         n_planes = max(2, int(np.log2(max(n, 64) / 32.0)))
     planes = lsh_planes(n_tables, n_planes, dim)
-    bplanes = embeddings.sparkSession.sparkContext.broadcast(planes)
     qset = [int(q) for q in query_ids]
-
-    def buckets(batches):
-        import pandas as pd
-
-        P = bplanes.value
-        for pdf in batches:
-            mat = _quantize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
-            rows = {"vid": [], "table": [], "bucket": []}
-            for t in range(P.shape[0]):
-                signs = (mat @ P[t].T) > 0
-                bucket = (signs.astype(np.int64) << np.arange(P.shape[1])).sum(axis=1)
-                rows["vid"].extend(pdf[id_col])
-                rows["table"].extend([t] * len(pdf))
-                rows["bucket"].extend(bucket)
-            yield pd.DataFrame(rows)
-
-    b = embeddings.select(id_col, vec_col).mapInPandas(
-        buckets, schema="vid long, table int, bucket long"
-    )
+    b = _lsh_bucket_df(embeddings, planes, vec_col, id_col)
     qb = b.filter(F.col("vid").isin(qset)).select(
         F.col("vid").alias("query_id"), "table", "bucket"
     )
@@ -620,18 +644,7 @@ def lsh_bucket_ann(
     qv = embeddings.select(F.col(id_col).alias("query_id"), quant.alias("qv"))
     nv = embeddings.select(F.col(id_col).alias("neighbor_id"), quant.alias("nv"))
     scored = cand.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
-    dot = F.aggregate(
-        F.zip_with("qv", "nv", lambda x, y: (x * y).cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    qn = F.sqrt(
-        F.aggregate(F.transform("qv", lambda x: (x * x).cast("double")), F.lit(0.0), lambda a, x: a + x)
-    )
-    nn = F.sqrt(
-        F.aggregate(F.transform("nv", lambda x: (x * x).cast("double")), F.lit(0.0), lambda a, x: a + x)
-    )
-    scored = scored.withColumn("cos_sim", dot / (qn * nn))
+    scored = scored.withColumn("cos_sim", _quantized_cosine("qv", "nv"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col("cos_sim"), round_digits)), "neighbor_id"
     )
@@ -661,26 +674,7 @@ def embedding_near_dup_pairs(
     on the slim pair keys before the rescoring joins."""
     dim = len(embeddings.select(vec_col).first()[0])
     planes = lsh_planes(n_tables, n_planes, dim)
-    bplanes = embeddings.sparkSession.sparkContext.broadcast(planes)
-
-    def buckets(batches):
-        import pandas as pd
-
-        P = bplanes.value
-        for pdf in batches:
-            mat = _quantize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
-            rows = {"vid": [], "table": [], "bucket": []}
-            for t in range(P.shape[0]):
-                signs = (mat @ P[t].T) > 0
-                bucket = (signs.astype(np.int64) << np.arange(P.shape[1])).sum(axis=1)
-                rows["vid"].extend(pdf[id_col])
-                rows["table"].extend([t] * len(pdf))
-                rows["bucket"].extend(bucket)
-            yield pd.DataFrame(rows)
-
-    b = embeddings.select(id_col, vec_col).mapInPandas(
-        buckets, schema="vid long, table int, bucket long"
-    )
+    b = _lsh_bucket_df(embeddings, planes, vec_col, id_col)
     left = b.select(F.col("vid").alias("vec_a"), "table", "bucket")
     right = b.select(F.col("vid").alias("vec_b"), "table", "bucket")
     pairs = (
@@ -693,18 +687,9 @@ def embedding_near_dup_pairs(
     av = embeddings.select(F.col(id_col).alias("vec_a"), quant.alias("va"))
     bv = embeddings.select(F.col(id_col).alias("vec_b"), quant.alias("vb"))
     scored = pairs.join(av, "vec_a").join(bv, "vec_b")
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: (x * y).cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    scored = scored.withColumn(
+        "cos_sim", F.round(_quantized_cosine("va", "vb"), round_digits)
     )
-    na = F.sqrt(
-        F.aggregate(F.transform("va", lambda x: (x * x).cast("double")), F.lit(0.0), lambda a, x: a + x)
-    )
-    nb = F.sqrt(
-        F.aggregate(F.transform("vb", lambda x: (x * x).cast("double")), F.lit(0.0), lambda a, x: a + x)
-    )
-    scored = scored.withColumn("cos_sim", F.round(dot / (na * nb), round_digits))
     return scored.filter(F.col("cos_sim") >= threshold).select(
         "vec_a", "vec_b", "cos_sim"
     )

@@ -154,6 +154,15 @@ def ngram_pairs_sql(
     )
 
 
+# quantized-embedding SQL fragment — derived from webtext._QSCALE so the
+# Python/Catalyst quantization and every oracle stay in lockstep
+def _quant_list_sql(list_expr: str) -> str:
+    return (
+        f"list_transform({list_expr}, "
+        f"x -> FLOOR(x * {webtext._QSCALE!r}e0 + 0.5e0))"
+    )
+
+
 def _plane_literal_sql(plane) -> str:
     """Hyperplane vector as a DuckDB DOUBLE[] literal. Every component
     goes through CAST('<repr>' AS DOUBLE) per the repo's oracle-decimal
@@ -189,8 +198,8 @@ def ann_lsh_sql(
     b = " UNION ALL ".join(selects)
     qset = ", ".join(str(int(q)) for q in query_ids)
     return (
-        f"WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
-        f"x -> FLOOR(x * 1048576.0e0 + 0.5e0)) AS v FROM {table}), "
+        f"WITH e AS (SELECT vec_id, "
+        f"{_quant_list_sql('CAST(embedding AS DOUBLE[])')} AS v FROM {table}), "
         f"b AS ({b}), "
         f"qb AS (SELECT vec_id AS query_id, tbl, bucket FROM b WHERE vec_id IN ({qset})), "
         "cand AS (SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id "
@@ -229,8 +238,8 @@ def embedding_near_dup_sql(
         selects.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM e")
     b = " UNION ALL ".join(selects)
     return (
-        f"WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
-        f"x -> FLOOR(x * 1048576.0e0 + 0.5e0)) AS v FROM {table}), "
+        f"WITH e AS (SELECT vec_id, "
+        f"{_quant_list_sql('CAST(embedding AS DOUBLE[])')} AS v FROM {table}), "
         f"b AS ({b}), "
         "pairs AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b "
         "FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket "
@@ -249,9 +258,9 @@ def multimodal_features_sql(table: str = "documents") -> str:
     """Oracle for plans/multimodal.extract_media_features over
     synth_media: the synthetic payload is the utf-8 bytes of
     sha256(doc_id), so DuckDB replays the fake-decode stats exactly —
-    byte mean is exact integer arithmetic in float64; the std is
-    rounded to 6 digits on both sides (pairwise-vs-sequential summation
-    ulp)."""
+    every intermediate of the 64-byte mean/std is an exactly
+    representable dyadic rational in float64, so no rounding is needed
+    for bit parity."""
     return (
         "WITH m AS (SELECT doc_id, "
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' "
@@ -264,7 +273,7 @@ def multimodal_features_sql(table: str = "documents") -> str:
         "s AS (SELECT doc_id, media_type, w, h, cps, "
         "list_avg(cps) AS feat_mean FROM c) "
         "SELECT doc_id, media_type, feat_mean, "
-        "ROUND(sqrt(list_avg(list_transform(cps, "
-        "x -> (x - feat_mean) * (x - feat_mean)))), 6) AS feat_std, "
+        "sqrt(list_avg(list_transform(cps, "
+        "x -> (x - feat_mean) * (x - feat_mean)))) AS feat_std, "
         "CAST(w AS DOUBLE) / CAST(h AS DOUBLE) AS aspect FROM s"
     )
