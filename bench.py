@@ -155,8 +155,14 @@ def run_headline(spark) -> dict[str, float]:
         "knn3_cell_join",
         "dedup_exact",
         "doc_stats",
+        "quality_rules",
+        "simhash64",
+        "doc_fingerprint",
+        "ngram_jaccard_pairs",
         "ann_cosine_top10",
+        "ann_lsh_top10",
         "minhash_lsh_pairs",
+        "emb_near_dup_pairs",
     ):
         q[name] = best_of(lambda n=name: queries[n](spark, SF_DIR).count())
     return q
