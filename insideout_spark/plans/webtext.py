@@ -365,6 +365,12 @@ def ngram_jaccard_pairs(
     a = d.select(F.col("doc_id").alias("doc_a"), "block", F.col("grams").alias("ga"))
     b = d.select(F.col("doc_id").alias("doc_b"), "block", F.col("grams").alias("gb"))
     pairs = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
+    # size-ratio prefilter: J(A,B) <= min/max, so Jaccard >= t requires
+    # min(|A|,|B|) >= t * max(|A|,|B|) — prunes most pairs before the
+    # O(|A|+|B|) set intersection (exact integer sizes, identical
+    # arithmetic in the DuckDB oracle)
+    sa, sb = F.size("ga").cast("double"), F.size("gb").cast("double")
+    pairs = pairs.filter(F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb))
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size(F.array_union("ga", "gb"))
     jac = inter.cast("double") / union.cast("double")

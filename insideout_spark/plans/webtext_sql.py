@@ -149,7 +149,9 @@ def ngram_pairs_sql(
         "j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
         "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
         "CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard "
-        "FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id) "
+        "FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id "
+        "AND least(CAST(len(a.grams) AS DOUBLE), CAST(len(b.grams) AS DOUBLE)) >= "
+        f"{threshold}e0 * greatest(CAST(len(a.grams) AS DOUBLE), CAST(len(b.grams) AS DOUBLE))) "
         f"SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {threshold}e0"
     )
 
