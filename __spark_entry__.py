@@ -346,6 +346,26 @@ def _q_pip_rect_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("point_id", "feature_id", "loop_pos")
 
 
+def _q_normalize_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op §2.7: cell-union normalize (dedup + drop cells contained
+    in a coarser cell of the set — the reference delegates this to
+    s2.RegionCoverer, tools.go:127-130). Literal input: a level-8
+    parent + its level-12 child + a duplicate + two unrelated cells;
+    oracle = the literal normalized set with tokens."""
+    import numpy as np
+
+    from insideout_spark.geo import cover as geo_cover
+    from insideout_spark.geo import s2 as geo_s2
+
+    cells = [5180951566638645248, 5180953696942424064, 5180953696942424064,
+             -8520159584101335040, 6924436915601014784]
+    out = geo_cover.normalize_cells([geo_s2.to_unsigned(np.int64(c)) for c in cells])
+    rows = [
+        (int(geo_s2.to_signed(np.uint64(c))), geo_s2.token(c)) for c in out
+    ]
+    return spark.createDataFrame(rows, "cell_id long, token string")
+
+
 def _q_dissolve_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster->vector dissolve (F11 + beyond: cell unions -> merged
     outline polygons with multipart) on two FIXED literal cell groups:
@@ -456,6 +476,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "emb_near_dup_pairs": _q_emb_near_dup,
         "dissolve_golden": _q_dissolve_golden,
+        "normalize_cells_golden": _q_normalize_cells,
         "simhash64": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -617,6 +638,13 @@ def oracle_sql() -> dict[str, str]:
         # literal golden for the raster->vector dissolve (regression
         # pin; semantics are property-tested against even-odd cell
         # membership in tests/test_dissolve.py)
+        "normalize_cells_golden": (
+            "SELECT * FROM (VALUES "
+            "(5180951566638645248, '47e67'), "
+            "(6924436915601014784, '60188ab'), "
+            "(-8520159584101335040, '89c25')"
+            ") AS t(cell_id, token)"
+        ),
         "dissolve_golden": (
             '''SELECT * FROM (VALUES 
             (0, 4, '{"type": "Feature", "properties": {}, "geometry": {"type": "MultiPolygon", "coordinates": [[[[-135.0, -67.5], [-45.0, -67.5], [-45.0, -45.0], [-90.0, -45.0], [-90.0, -22.5], [-135.0, -22.5], [-135.0, -67.5]]], [[[45.0, 22.5], [90.0, 22.5], [90.0, 45.0], [45.0, 45.0], [45.0, 22.5]]]]}}'),
