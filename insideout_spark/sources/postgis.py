@@ -1,0 +1,95 @@
+"""PostGIS source + stab, gated behind JDBC availability (SURVEY.md
+§2.1 S6 / §2.3 J4 — reference index/postgis/postgis.go).
+
+The reference's fourth stab strategy delegates containment to PostGIS:
+`SELECT ogc_fid FROM france WHERE ST_Contains(geom, POINT)`
+(postgis.go:40-68; same SQL shape in cmd/quickpostgisload/main.go:96-99).
+This sandbox has no PostgreSQL server or JDBC driver jar, so this
+module is runtime-gated the same way as sources/iceberg.py: the
+query-construction logic (the part with parity to the reference) is
+pure and unit-tested; the network read needs a real cluster.
+
+Scale note: on a real deployment the JDBC read uses `pushdown_query`
+per point-partition (PostGIS does the geometry work server-side), so
+Spark only shuffles result rows — but at 10^12 points an external
+RDBMS is the wrong shape; this exists for reference parity and for
+small authoritative layers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def jdbc_postgres_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.postgresql.Driver")
+        return True
+    except Exception:
+        return False
+
+
+def stab_sql(lng: float, lat: float, table: str = "france") -> str:
+    """The reference's PostGIS stab query (postgis.go:40-68): features
+    whose geometry contains the point. Mirrors the exact SQL shape —
+    ST_Contains(geom, ST_SetSRID(ST_MakePoint(lng, lat), 4326))."""
+    return (
+        f"SELECT ogc_fid FROM {table} WHERE ST_Contains(geom, "  # noqa: S608
+        f"ST_SetSRID(ST_MakePoint({float(lng)!r}, {float(lat)!r}), 4326))"
+    )
+
+
+def read_postgis(
+    spark: SparkSession,
+    jdbc_url: str,
+    table: str,
+    properties: dict | None = None,
+    predicates: list | None = None,
+) -> DataFrame:
+    """JDBC read of a PostGIS table (S6). `predicates` partition the
+    read (one JDBC connection per predicate — the usual way to
+    parallelize a relational scan). Raises a clear error when no
+    PostgreSQL driver jar is on the classpath."""
+    if not jdbc_postgres_available(spark):
+        raise RuntimeError(
+            "PostGIS source requires the PostgreSQL JDBC driver jar "
+            "(--jars postgresql-*.jar); not present in this environment"
+        )
+    return spark.read.jdbc(
+        jdbc_url,
+        table,
+        predicates=predicates,
+        properties={"driver": "org.postgresql.Driver", **(properties or {})},
+    )
+
+
+def stab_postgis(
+    spark: SparkSession,
+    jdbc_url: str,
+    points,
+    table: str = "france",
+    properties: dict | None = None,
+) -> DataFrame:
+    """J4: per-point PostGIS stab via pushdown queries — one JDBC
+    sub-query per point batch, PostGIS does the containment. Collects
+    the (small) point list to build pushdown SQL; for large point sets
+    use the native dual-cover join instead."""
+    if not jdbc_postgres_available(spark):
+        raise RuntimeError(
+            "PostGIS stab requires the PostgreSQL JDBC driver jar; "
+            "use pip_join (the native dual-cover stab) in this environment"
+        )
+    union_sql = " UNION ALL ".join(
+        f"SELECT {int(i)} AS point_id, ogc_fid FROM {table} "  # noqa: S608
+        "WHERE ST_Contains(geom, "
+        f"ST_SetSRID(ST_MakePoint({float(lng)!r}, {float(lat)!r}), 4326))"
+        for i, (lng, lat) in enumerate(points)
+    )
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", jdbc_url)
+        .option("query", union_sql)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -101,3 +101,24 @@ def test_geocode_pipeline_end_to_end(spark, houat_index):
     assert {"url", "feature_id", "loop_pos", "is_sure_hit", "s2_cell_l10", "grid_cell_r7"} <= cols
     golden = [r for r in rows if r["url"].endswith("00000001") or r["url"].endswith("zzdup")]
     assert len(golden) == 1 and golden[0]["is_sure_hit"]
+
+
+def test_postgis_gated_source(spark):
+    """S6/J4 parity (runtime-gated like Iceberg): the stab SQL matches
+    the reference query shape (index/postgis/postgis.go:40-68), and the
+    JDBC paths fail with a clear message when no driver jar exists."""
+    import pytest
+
+    from insideout_spark.sources import postgis
+
+    sql = postgis.stab_sql(2.35, 48.85)
+    assert sql == (
+        "SELECT ogc_fid FROM france WHERE ST_Contains(geom, "
+        "ST_SetSRID(ST_MakePoint(2.35, 48.85), 4326))"
+    )
+    assert "ST_MakePoint(-1.1, 47.0)" in postgis.stab_sql(-1.1, 47.0, table="communes")
+    if not postgis.jdbc_postgres_available(spark):
+        with pytest.raises(RuntimeError, match="JDBC driver"):
+            postgis.read_postgis(spark, "jdbc:postgresql://x/db", "france")
+        with pytest.raises(RuntimeError, match="JDBC driver"):
+            postgis.stab_postgis(spark, "jdbc:postgresql://x/db", [(2.35, 48.85)])
