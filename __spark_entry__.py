@@ -116,6 +116,11 @@ def _rects_values_sql() -> str:
 
 _ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
+# the driver runs oracle SQL side-by-side with queries() at sf=0.01 (the
+# contract); data-dependent oracle constants (IVF centroids) train from
+# this dir — override for larger-SF gate replicas (tests honor it too)
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
 _PREPARED: set = set()
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 
@@ -412,10 +417,20 @@ def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF params pinned for the oracle gate (the ann_lsh n_planes pattern):
+# the quantized centroids trained from the sf-dir parquet are served by
+# the Spark query AND embedded as a literal VALUES table in the oracle
+_IVF_N_LISTS, _IVF_N_PROBE = 16, 4
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return webtext.ivf_ann(_embs(spark, sf_dir), _ANN_QUERY_IDS, k=10).select(
-        "query_id", "neighbor_id", "rank"
+    cents = webtext.ivf_centroids_from_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), n_lists=_IVF_N_LISTS
     )
+    return webtext.ivf_ann(
+        _embs(spark, sf_dir), _ANN_QUERY_IDS, k=10,
+        n_probe=_IVF_N_PROBE, centroids=cents,
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,8 +671,18 @@ def oracle_sql() -> dict[str, str]:
         # fake-decode stats replay exactly in SQL (the REAL codec stays
         # a declared stub; this gates the plumbing + stat arithmetic)
         "multimodal_features": webtext_sql.multimodal_features_sql(),
-        # the single non-SQL-expressible op intentionally omitted
-        # (rows-only): ann_ivf_top10 — sampled k-means training has no
-        # SQL form; recall/determinism-tested in pytest vs the exact
-        # brute oracle.
+        # IVF: the sampled k-means TRAINING has no SQL form, but the
+        # SERVING path does (VERDICT r02 'Next round' #1) — train once
+        # from the gate's parquet (driver gate runs at sf0.01), pin the
+        # quantized centroids as a literal VALUES table, and DuckDB does
+        # assignment + n_probe selection + exact quantized rescoring
+        "ann_ivf_top10": webtext_sql.ann_ivf_sql(
+            _ANN_QUERY_IDS,
+            webtext.ivf_centroids_from_parquet(
+                os.path.join(_ORACLE_SF_DIR, "embeddings.parquet"),
+                n_lists=_IVF_N_LISTS,
+            ),
+            k=10,
+            n_probe=_IVF_N_PROBE,
+        ),
     }

@@ -219,6 +219,49 @@ def ann_lsh_sql(
     )
 
 
+def ann_ivf_sql(
+    query_ids,
+    centroids,
+    k: int = 10,
+    n_probe: int = 4,
+    table: str = "embeddings",
+    round_digits: int = 5,
+) -> str:
+    """Oracle for webtext.ivf_ann with pinned trained centroids
+    (VERDICT r02 'Next round' #1): the quantized centroids are embedded
+    as a literal VALUES table, and DuckDB replays the identical serving
+    arithmetic — assignment by argmax of dot(v,c)/|c| (exact integer dot
+    product, one correctly-rounded sqrt + divide, list_id tiebreak),
+    n_probe list selection with the same ordering, distinct candidate
+    join, and quantized rounded-cosine rescoring with id tiebreak."""
+    cvals = ", ".join(
+        f"({i}, {_plane_literal_sql(centroids[i])})" for i in range(len(centroids))
+    )
+    qset = ", ".join(str(int(q)) for q in query_ids)
+    score = "list_dot_product(e.v, c.cv) / sqrt(list_dot_product(c.cv, c.cv))"
+    return (
+        f"WITH e AS (SELECT vec_id, "
+        f"{_quant_list_sql('CAST(embedding AS DOUBLE[])')} AS v FROM {table}), "
+        f"c AS (SELECT * FROM (VALUES {cvals}) AS t(list_id, cv)), "
+        f"s AS (SELECT e.vec_id, c.list_id, {score} AS s FROM e, c), "
+        "a AS (SELECT vec_id, list_id FROM s "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list_id) = 1), "
+        f"p AS (SELECT vec_id AS query_id, list_id FROM s WHERE vec_id IN ({qset}) "
+        f"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list_id) <= {int(n_probe)}), "
+        "cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id "
+        "FROM p JOIN a ON a.list_id = p.list_id AND a.vec_id != p.query_id), "
+        "scored AS (SELECT c2.query_id, c2.neighbor_id, "
+        "ROUND(list_dot_product(eq.v, en.v) / "
+        "(sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(en.v, en.v))), "
+        f"{round_digits}) AS cs "
+        "FROM cand c2 JOIN e eq ON eq.vec_id = c2.query_id "
+        "JOIN e en ON en.vec_id = c2.neighbor_id) "
+        "SELECT query_id, neighbor_id, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS INT) AS rank "
+        f"FROM scored QUALIFY rank <= {int(k)}"
+    )
+
+
 def embedding_near_dup_sql(
     threshold: float = 0.9,
     n_tables: int = 8,
