@@ -210,8 +210,76 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5) -> D
     return docs.select("doc_id", text_col).mapInPandas(run, schema="doc_id long, sig array<long>")
 
 
+def _capped_bucket_pairs(
+    bands: DataFrame,
+    key_cols: list,
+    id_col: str,
+    a_name: str,
+    b_name: str,
+    bucket_cap: int | None,
+) -> DataFrame:
+    """Candidate pairs from an LSH bucket self-join, with a per-bucket
+    size cap (VERDICT r02 'What's wrong' #1 / 'Next round' #2): a
+    cluster of m near-identical items lands in ONE bucket and a plain
+    self-join emits m(m-1)/2 candidates — quadratic under duplicate-
+    cluster skew, which exact dedup upstream does not remove (near-
+    identical != identical). Buckets over `bucket_cap` emit a STAR to
+    their min-id representative instead (m-1 pairs): every cluster
+    member still connects to the cluster through the representative
+    (connected components downstream are unchanged), and the verified
+    pair count is bounded linear in the cluster size. Buckets at or
+    under the cap keep the exact clique, so at oracle-gate scale
+    (buckets << cap) results are identical with or without the cap.
+    `bucket_cap=None` disables capping. Capped-bucket observability is
+    one aggregate away: lsh_bucket_stats()."""
+    left = bands.select(F.col(id_col).alias(a_name), *key_cols)
+    right = bands.select(F.col(id_col).alias(b_name), *key_cols)
+    if bucket_cap is None:
+        pairs = left.join(right, key_cols).filter(F.col(a_name) < F.col(b_name))
+        return pairs.select(a_name, b_name).dropDuplicates([a_name, b_name])
+    stats = bands.groupBy(*key_cols).agg(
+        F.count("*").alias("__bn"), F.min(id_col).alias("__rep")
+    )
+    # stats shuffles on the bucket key; the join back is co-partitioned
+    banded = bands.join(stats, key_cols)
+    small = banded.filter(F.col("__bn") <= bucket_cap)
+    clique = (
+        small.select(F.col(id_col).alias(a_name), *key_cols)
+        .join(small.select(F.col(id_col).alias(b_name), *key_cols), key_cols)
+        .filter(F.col(a_name) < F.col(b_name))
+        .select(a_name, b_name)
+    )
+    # rep = min id, so a_name < b_name holds by construction
+    star = banded.filter(
+        (F.col("__bn") > bucket_cap) & (F.col(id_col) != F.col("__rep"))
+    ).select(F.col("__rep").alias(a_name), F.col(id_col).alias(b_name))
+    return clique.unionByName(star).dropDuplicates([a_name, b_name])
+
+
+def lsh_bucket_stats(bands: DataFrame, key_cols: list, id_col: str, bucket_cap: int) -> DataFrame:
+    """One-row observability aggregate for an LSH banding: bucket count,
+    max bucket size, buckets over the cap, and the candidate-pair count
+    the star cap saved vs the full clique (the 'logged drop counter'
+    for capped buckets)."""
+    per = bands.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    saved = F.when(
+        F.col("n") > bucket_cap,
+        (F.col("n") * (F.col("n") - 1)) / F.lit(2) - (F.col("n") - 1),
+    ).otherwise(F.lit(0))
+    return per.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum((F.col("n") > bucket_cap).cast("long")).alias("n_capped_buckets"),
+        F.sum(saved).cast("long").alias("clique_pairs_saved"),
+    )
+
+
 def minhash_lsh_pairs(
-    docs: DataFrame, text_col: str = "text", k: int = 5, threshold: float = 0.5
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded LSH, verified by signature-
     estimated Jaccard >= threshold. shingle->minhash->band->bucket-join:
@@ -247,14 +315,10 @@ def minhash_lsh_pairs(
     # pair shuffle carries ONLY (doc_a, doc_b): dedup the banded pairs
     # first, then re-attach one signature per side (VERDICT r01 minor
     # #5 — previously both 32-long arrays rode through the band join
-    # AND the dropDuplicates shuffle)
-    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
-    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
-    pairs = (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+    # AND the dropDuplicates shuffle). Buckets over bucket_cap emit a
+    # star to their representative instead of a clique (r02 #2).
+    pairs = _capped_bucket_pairs(
+        bands, ["band", "bh"], "doc_id", "doc_a", "doc_b", bucket_cap
     )
     pairs = (
         pairs.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
@@ -725,6 +789,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 4,
     n_tables: int = 8,
     round_digits: int = 5,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (the prompt's last dedup
     variant): sign-random-projection LSH buckets generate candidate
@@ -732,18 +797,14 @@ def embedding_near_dup_pairs(
     cos >= threshold. Output (vec_a, vec_b, cos_sim) with vec_a <
     vec_b; cos_sim rounded to `round_digits` so the literal-hyperplane
     DuckDB oracle reproduces it exactly. Scale shape: one shuffle on
-    (table, bucket), candidate count ~ bucket sizes, map-side distinct
-    on the slim pair keys before the rescoring joins."""
+    (table, bucket), candidate count ~ bucket sizes (star-capped above
+    `bucket_cap` — see _capped_bucket_pairs), map-side distinct on the
+    slim pair keys before the rescoring joins."""
     dim = len(embeddings.select(vec_col).first()[0])
     planes = lsh_planes(n_tables, n_planes, dim)
     b = _lsh_bucket_df(embeddings, planes, vec_col, id_col)
-    left = b.select(F.col("vid").alias("vec_a"), "table", "bucket")
-    right = b.select(F.col("vid").alias("vec_b"), "table", "bucket")
-    pairs = (
-        left.join(right, ["table", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
+    pairs = _capped_bucket_pairs(
+        b, ["table", "bucket"], "vid", "vec_a", "vec_b", bucket_cap
     )
     quant = F.transform(F.col(vec_col), _quantize_col)
     av = embeddings.select(F.col(id_col).alias("vec_a"), quant.alias("va"))

@@ -101,12 +101,54 @@ def simhash_sql(table: str = "documents") -> str:
     )
 
 
+def capped_pairs_sql(
+    bands_cte: str,
+    key_cols: tuple,
+    id_col: str,
+    a_name: str,
+    b_name: str,
+    bucket_cap: int | None,
+) -> str:
+    """SQL twin of webtext._capped_bucket_pairs: candidate pairs from a
+    bucket self-join where buckets over `bucket_cap` emit a star to
+    their min-id representative instead of the full clique. Mirroring
+    the cap in the oracle means the driver gate exercises the cap LOGIC
+    itself (not just 'cap never fires at gate scale')."""
+    keys = " AND ".join(f"l.{c} = r.{c}" for c in key_cols)
+    if bucket_cap is None:
+        return (
+            f"SELECT DISTINCT l.{id_col} AS {a_name}, r.{id_col} AS {b_name} "
+            f"FROM {bands_cte} l JOIN {bands_cte} r ON {keys} "
+            f"AND l.{id_col} < r.{id_col}"
+        )
+    gkeys = ", ".join(key_cols)
+    skeys = " AND ".join(f"s.{c} = x.{c}" for c in key_cols)
+    return (
+        "SELECT DISTINCT * FROM ("
+        f"SELECT l.{id_col} AS {a_name}, r.{id_col} AS {b_name} "
+        f"FROM (SELECT x.*, s.__bn FROM {bands_cte} x JOIN "
+        f"(SELECT {gkeys}, count(*) AS __bn FROM {bands_cte} GROUP BY {gkeys}) s ON {skeys}) l "
+        f"JOIN {bands_cte} r ON {keys} AND l.{id_col} < r.{id_col} "
+        f"WHERE l.__bn <= {int(bucket_cap)} "
+        "UNION ALL "
+        f"SELECT s.__rep AS {a_name}, x.{id_col} AS {b_name} "
+        f"FROM {bands_cte} x JOIN "
+        f"(SELECT {gkeys}, count(*) AS __bn, min({id_col}) AS __rep "
+        f"FROM {bands_cte} GROUP BY {gkeys}) s ON {skeys} "
+        f"WHERE s.__bn > {int(bucket_cap)} AND x.{id_col} != s.__rep)"
+    )
+
+
 def minhash_pairs_sql(
-    table: str = "documents", k: int = 5, threshold: float = 0.35
+    table: str = "documents",
+    k: int = 5,
+    threshold: float = 0.35,
+    bucket_cap: int | None = 1024,
 ) -> str:
     """Oracle for webtext.minhash_lsh_pairs: identical signatures (32
     perms mod 2^31-1 over the shingle hashes), identical banding (raw
-    4-tuple keys), exact est_jaccard."""
+    4-tuple keys), identical bucket-cap star semantics, exact
+    est_jaccard."""
     a, b = webtext._minhash_params()
     perms = ", ".join(
         f"list_min(list_transform(hs, h -> ({int(a[i])} * h + {int(b[i])}) % {_P31}))"
@@ -117,14 +159,15 @@ def minhash_pairs_sql(
     key = " || '_' || ".join(
         f"CAST(sig[{rpb} * band + {j + 1}] AS VARCHAR)" for j in range(rpb)
     )
+    pairs = capped_pairs_sql(
+        "bands", ("band", "bh"), "doc_id", "doc_a", "doc_b", bucket_cap
+    )
     return (
         f"WITH sh AS (SELECT doc_id, {shingle_hash_list_sql('text', k)} AS hs FROM {table}), "
         f"sig AS (SELECT doc_id, [{perms}] AS sig FROM sh), "
-        f"bands AS (SELECT doc_id, sig, band, {key} AS bh "
+        f"bands AS (SELECT doc_id, band, {key} AS bh "
         f"FROM sig, (VALUES {band_rows}) AS bt(band)), "
-        "pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
-        "FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh "
-        "AND l.doc_id < r.doc_id), "
+        f"pairs AS ({pairs}), "
         "est AS (SELECT p.doc_a, p.doc_b, "
         "CAST(list_sum(list_transform(range(1, 33), i -> "
         "CASE WHEN sa.sig[CAST(i AS BIGINT)] = sb.sig[CAST(i AS BIGINT)] THEN 1 ELSE 0 END)) AS INT) "
@@ -269,9 +312,10 @@ def embedding_near_dup_sql(
     dim: int = 64,
     table: str = "embeddings",
     round_digits: int = 5,
+    bucket_cap: int | None = 1024,
 ) -> str:
     """Oracle for webtext.embedding_near_dup_pairs: same literal
-    hyperplanes / bucket bits / distinct pair join / rounded cosine."""
+    hyperplanes / bucket bits / star-capped pair join / rounded cosine."""
     planes = webtext.lsh_planes(n_tables, n_planes, dim)
     selects = []
     for t in range(n_tables):
@@ -282,13 +326,14 @@ def embedding_near_dup_sql(
         )
         selects.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM e")
     b = " UNION ALL ".join(selects)
+    pairs = capped_pairs_sql(
+        "b", ("tbl", "bucket"), "vec_id", "vec_a", "vec_b", bucket_cap
+    )
     return (
         f"WITH e AS (SELECT vec_id, "
         f"{_quant_list_sql('CAST(embedding AS DOUBLE[])')} AS v FROM {table}), "
         f"b AS ({b}), "
-        "pairs AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b "
-        "FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket "
-        "AND l.vec_id < r.vec_id), "
+        f"pairs AS ({pairs}), "
         "scored AS (SELECT p.vec_a, p.vec_b, "
         f"ROUND(list_dot_product(ea.v, eb.v) / "
         "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), "
