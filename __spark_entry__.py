@@ -323,6 +323,20 @@ def _q_pip_rect_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("point_id", "feature_id", "loop_pos")
 
 
+def _q_pip_rect_edges_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same stab join with the edge table JOINED BY SHUFFLE instead of
+    broadcast (pip_join(broadcast_edges=False)) — the declared fallback
+    for continent-scale ring tables that exceed the broadcast budget
+    (reference db-strategy memory/speed knob, server/server.go:73-108).
+    Previously the only physical stab path with no green row (VERDICT
+    r02 'Next round' #3); gated against the same pip_core oracle."""
+    res = pip_join(
+        _points(spark, sf_dir), _rect_index(spark), id_cols=("point_id",),
+        include_properties=False, broadcast_edges=False,
+    )
+    return res.select("point_id", "feature_id", "loop_pos")
+
+
 def _rect_bucketed_table(spark: SparkSession) -> str:
     """save_index_bucketed once per session: the cell index persisted as
     a hash-bucketed table on fij_key (the non-broadcast path)."""
@@ -472,6 +486,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_rect_join_salted": _q_pip_rect_salted,
         "pip_rect_join_fused": _q_pip_rect_fused,
         "pip_rect_join_bucketed": _q_pip_rect_bucketed,
+        "pip_rect_join_edges_shuffled": _q_pip_rect_edges_shuffled,
         "quality_rules": _q_quality_rules,
         "pip_count_by_feature": _q_pip_count,
         "pip_stop_on_first": _q_stop_first,
@@ -549,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_rect_join_salted": pip_core,
         "pip_rect_join_fused": pip_core,
         "pip_rect_join_bucketed": pip_core,
+        "pip_rect_join_edges_shuffled": pip_core,
         "quality_rules": quality,
         # literal goldens from the reference's strategy test suites:
         # rows 0,1,4 contain (fid 0, pos 1); row 1 via the interior

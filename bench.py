@@ -150,6 +150,7 @@ def run_headline(spark) -> dict[str, float]:
     for name in (
         "pip_rect_join",
         "pip_rect_join_bucketed",
+        "pip_rect_join_edges_shuffled",
         "grid_assign_r7",
         "s2_assign_l10",
         "knn3_cell_join",
