@@ -196,6 +196,70 @@ def test_knn_cell_join_fewer_targets_than_k(spark):
     assert len(ring) == 20  # 10 points x 2 targets
 
 
+def test_knn_boundary_distance_ties_match_brute(spark):
+    """ADVICE r02: termination must use STRICT kth < g^2 — an unprobed
+    target at exactly the ring-guarantee distance g with a smaller tid
+    could outrank the kth candidate under the (dist_sq, tid) tiebreak.
+    Grid-aligned data (every coordinate an exact multiple of the cell
+    size, exactly representable in binary) makes boundary-distance ties
+    common; every row must equal brute."""
+    import pandas as pd
+
+    from insideout_spark.geo import grid as geo_grid
+
+    res = 4
+    h = geo_grid.cell_height(res)  # 11.25 — exact dyadic rational
+    rng = np.random.default_rng(9)
+    tg_lat = rng.integers(-6, 7, 40) * h
+    tg_lng = rng.integers(-12, 13, 40) * h
+    tgt = spark.createDataFrame(
+        pd.DataFrame({"target_id": np.arange(40, dtype=np.int64),
+                      "lat": tg_lat, "lng": tg_lng})
+    )
+    pt_lat = rng.integers(-6, 7, 120) * h
+    pt_lng = rng.integers(-12, 13, 120) * h
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": np.arange(120, dtype=np.int64),
+                      "lat": pt_lat, "lng": pt_lng})
+    )
+    brute = sorted(
+        (r["point_id"], r["target_id"], r["rank"])
+        for r in knn_brute(pts, tgt, k=3).collect()
+    )
+    ring = sorted(
+        (r["point_id"], r["target_id"], r["rank"])
+        for r in knn_cell_join(pts, tgt, k=3, res=res).collect()
+    )
+    assert ring == brute
+
+
+def test_knn_round_caches_released(spark, points_df, targets_df):
+    """VERDICT r02 'What's wrong' #3: per-round persisted aggs must be
+    releasable — release_round_caches() leaves no extra persisted RDDs,
+    and the next knn_cell_join auto-releases its predecessor's."""
+    from insideout_spark.plans import knn as knn_mod
+
+    df, _ = points_df
+    tdf, _ = targets_df
+    jsc = spark.sparkContext._jsc
+    knn_mod.release_round_caches()
+    before = jsc.getPersistentRDDs().size()
+    res1 = knn_cell_join(df.limit(100), tdf, k=3, res=5)
+    assert res1.count() > 0
+    assert jsc.getPersistentRDDs().size() > before  # rounds are cached
+    knn_mod.release_round_caches()
+    assert jsc.getPersistentRDDs().size() == before
+    # auto-release: a second join clears the first join's caches
+    res2 = knn_cell_join(df.limit(100), tdf, k=3, res=5)
+    assert res2.count() > 0
+    n2 = jsc.getPersistentRDDs().size()
+    res3 = knn_cell_join(df.limit(100), tdf, k=3, res=5)
+    assert res3.count() > 0
+    assert jsc.getPersistentRDDs().size() <= n2
+    knn_mod.release_round_caches()
+    assert jsc.getPersistentRDDs().size() == before
+
+
 def test_checkpoint_resume(spark, points_df, tmp_path):
     df, _ = points_df
     out_dir = "file://" + str(tmp_path / "ck")
