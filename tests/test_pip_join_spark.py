@@ -267,6 +267,40 @@ def test_nonbroadcast_edges_equivalent(spark, houat_index, golden_points_df):
     assert a == b and len(a) > 0
 
 
+def test_bucketed_n_buckets_from_manifest_and_catalog(spark, houat_index, golden_points_df):
+    """The bucketed strategy reads the bucket count from the index
+    manifest (recorded by save_index_bucketed) and, when the manifest
+    lacks the entry (e.g. an index loaded fresh from parquet), from the
+    catalog's bucketSpec API — never from parsing DESCRIBE text
+    (VERDICT r02 'What's wrong' #4)."""
+    from insideout_spark.plans.index_build import save_index_bucketed
+
+    save_index_bucketed(houat_index, "houat_cells_bucketed_t", n_buckets=4)
+    assert houat_index.manifest["bucketed_tables"]["houat_cells_bucketed_t"] == 4
+    base = {
+        (r["url"], r["feature_id"], r["loop_pos"])
+        for r in pip_join(golden_points_df, houat_index).collect()
+    }
+    via_manifest = {
+        (r["url"], r["feature_id"], r["loop_pos"])
+        for r in pip_join(
+            golden_points_df, houat_index, strategy="bucketed",
+            bucketed_table="houat_cells_bucketed_t",
+        ).collect()
+    }
+    assert via_manifest == base
+    # catalog fallback: drop the manifest entry
+    del houat_index.manifest["bucketed_tables"]["houat_cells_bucketed_t"]
+    via_catalog = {
+        (r["url"], r["feature_id"], r["loop_pos"])
+        for r in pip_join(
+            golden_points_df, houat_index, strategy="bucketed",
+            bucketed_table="houat_cells_bucketed_t",
+        ).collect()
+    }
+    assert via_catalog == base
+
+
 def test_random_layer_differential(spark):
     """Randomized differential test through the full auto-params path:
     a fresh wobbly multi-polygon layer + random points, every physical
