@@ -147,6 +147,20 @@ def run_headline(spark) -> dict[str, float]:
 
     # 4+. driver-contract queries at SF_DIR
     queries = entry_mod.queries()
+    # 4++. blocking-key skew (VERDICT r02 'Next round' #8): 50% of docs
+    # share the OPENING BIGRAM — ngram_jaccard_pairs' block key — so
+    # half the corpus lands in one block, the documented worst case for
+    # bigram blocking. Evidence that the size-ratio prefilter + cheap
+    # Catalyst intersections hold under the skew.
+    from insideout_spark.plans import webtext as _webtext
+
+    skew_docs = src_pages.synth_skewed_docs(spark, 5000).cache()
+    skew_docs.count()
+    q["ngram_jaccard_skew50"] = best_of(
+        lambda: _webtext.ngram_jaccard_pairs(skew_docs, threshold=0.3).count()
+    )
+    skew_docs.unpersist()
+
     for name in (
         "pip_rect_join",
         "pip_rect_join_bucketed",

@@ -114,6 +114,57 @@ def synth_pages(spark: SparkSession, n: int, partitions: int | None = None) -> D
     return base.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+def synth_skewed_docs(
+    spark: SparkSession,
+    n: int,
+    shared_frac_mod: int = 2,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic documents table for blocking-key skew benches
+    (VERDICT r02 'Next round' #8): every id with id % shared_frac_mod
+    == 0 (default: 50% of the corpus) OPENS WITH THE SAME BIGRAM —
+    ngram_jaccard_pairs' blocking key — so half the corpus lands in one
+    block, the documented worst case for bigram blocking. Body words
+    are id-unique splitmix-style hashes (true Jaccard between distinct
+    docs ~ 0) with varying lengths, so the size-ratio prefilter and the
+    exact intersection carry the full load. Ids 2n and 2n+1 of the LAST
+    pair are planted near-dups inside the shared block."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n, 1, parts)
+    mod = int(shared_frac_mod)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy().astype(np.uint64)
+            lens = (15 + (ids * np.uint64(2654435761)) % np.uint64(31)).astype(np.int64)
+            texts = []
+            for i, L in zip(ids, lens):
+                j = np.arange(L, dtype=np.uint64)
+                vals = ((i * np.uint64(1_000_003) + j) * np.uint64(2654435761)) % np.uint64(
+                    1 << 30
+                )
+                words = ["w%d" % v for v in vals]
+                if int(i) % mod == 0:
+                    words[:2] = ["le", "monde"]
+                texts.append(" ".join(words))
+            yield pd.DataFrame({"doc_id": ids.astype(np.int64), "text": texts})
+
+    docs = base.mapInPandas(gen, schema="doc_id long, text string")
+    # planted near-dup pair inside the shared block (ids 10n, 10n+mod —
+    # both open with the shared bigram, bodies differ by one word)
+    body = " ".join("nd%d" % v for v in range(30))
+    planted = spark.createDataFrame(
+        [
+            (10 * n, f"le monde {body}"),
+            (10 * n + mod, f"le monde {body} tail"),
+        ],
+        "doc_id long, text string",
+    )
+    return docs.unionByName(planted)
+
+
 POINTS_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
