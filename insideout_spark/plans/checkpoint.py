@@ -11,8 +11,18 @@ whole protocol works on any Hadoop-compatible filesystem — HDFS, S3A,
 file:/ — not just the driver's local disk (VERDICT r01 'What's wrong'
 #4: the previous os.listdir/os.replace lineage broke exactly where a
 100 TB job runs). No raw os.* calls touch the data path. A rerun skips
-committed buckets — idempotent, at-least-once per bucket, exactly-once
-per committed bucket.
+committed buckets — idempotent, at-least-once per bucket.
+
+Consistency contract (ADVICE r02): the protocol assumes a SINGLE
+WRITER per output path. FileOutputCommitter's rename is atomic on HDFS
+but copy+delete on S3A, and the lineage write uses mode('overwrite')
+(delete-then-write), so a CONCURRENT reader or second writer can
+observe a missing/partial lineage record; because buckets are
+deterministic and reruns recompute uncommitted buckets, that degrades
+to recompute, never to wrong data. 'Exactly-once per committed bucket'
+holds only under the single-writer assumption; on object stores use a
+committer with atomic task commit (e.g. the S3A magic committer) if
+multiple drivers may share a checkpoint path.
 """
 
 from __future__ import annotations

