@@ -604,12 +604,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn3_cell_join": _knn3_oracle(),
         "knn3_brute": _knn3_oracle(),
+        # percentiles mirror plans/metrics._interp_pct verbatim —
+        # v_lo + (v_hi - v_lo) * frac over the sorted array (NOT
+        # quantile_cont, whose algebraically-equal formula differs by
+        # one ulp on large groups; caught by the derived-sf1 gate)
         "event_value_stats": (
-            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
             "min(value) AS v_min, max(value) AS v_max, "
-            "quantile_cont(value, 0.5e0) AS p50, "
-            "quantile_cont(value, 0.99e0) AS p99 "
-            "FROM events GROUP BY event_type"
+            "list_sort(list(value)) AS vals FROM events GROUP BY event_type) "
+            "SELECT event_type, n, v_min, v_max, "
+            + ", ".join(
+                (
+                    f"(vals[CAST(floor({q}e0 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1] + "
+                    f"(coalesce(vals[CAST(floor({q}e0 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 2], "
+                    f"vals[CAST(floor({q}e0 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1]) - "
+                    f"vals[CAST(floor({q}e0 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1]) * "
+                    f"({q}e0 * CAST(n - 1 AS DOUBLE) - floor({q}e0 * CAST(n - 1 AS DOUBLE)))) AS {name}"
+                )
+                for q, name in ((0.5, "p50"), (0.99, "p99"))
+            )
+            + " FROM g"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_dups, "

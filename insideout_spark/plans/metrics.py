@@ -27,18 +27,45 @@ def observe_stab_metrics(result: DataFrame):
     return df, obs
 
 
+def _interp_pct(vals_col: str, n_col: str, q: float):
+    """Exact linear-interpolated percentile over a sorted array with an
+    EXPLICIT expression tree — v_lo + (v_hi - v_lo) * frac, where
+    idx = q * (n - 1) — mirrored verbatim in the DuckDB oracle. Spark's
+    `percentile` and DuckDB's `quantile_cont` interpolate with
+    different (mathematically equal) formulas, which diverge by one ulp
+    on large groups (observed at the derived sf1 gate); pinning one
+    expression in both engines makes the value bit-stable."""
+    idx = F.lit(float(q)) * (F.col(n_col) - 1).cast("double")
+    lo = F.floor(idx).cast("int")
+    frac = idx - F.floor(idx)
+    v_lo = F.get(F.col(vals_col), lo)
+    v_hi = F.coalesce(F.get(F.col(vals_col), lo + 1), v_lo)
+    return v_lo + (v_hi - v_lo) * frac
+
+
 def value_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """count / min / max / exact p50 / p99 per group — the loadtester's
-    timer aggregates as one Spark aggregation. Uses exact `percentile`
-    (order-independent, so an external oracle can reproduce it);
+    timer aggregates as one Spark aggregation. Percentiles interpolate
+    over the sorted per-group array with an explicit expression (see
+    _interp_pct) so an external oracle reproduces them bit-exactly;
     deliberately no float sums (partial-aggregation order would make
-    cross-engine hashes unstable)."""
-    return df.groupBy(group_col).agg(
+    cross-engine hashes unstable). The sorted-array collect is the
+    exact-gate path — at true corpus scale swap in approx_percentile
+    (the reference's loadtester also keeps all timer samples in
+    memory, cmd/loadtester/main.go:93-135)."""
+    g = df.groupBy(group_col).agg(
         F.count("*").cast("long").alias("n"),
         F.min(value_col).alias("v_min"),
         F.max(value_col).alias("v_max"),
-        F.expr(f"percentile({value_col}, 0.5)").alias("p50"),
-        F.expr(f"percentile({value_col}, 0.99)").alias("p99"),
+        F.sort_array(F.collect_list(value_col)).alias("__vals"),
+    )
+    return g.select(
+        group_col,
+        "n",
+        "v_min",
+        "v_max",
+        _interp_pct("__vals", "n", 0.5).alias("p50"),
+        _interp_pct("__vals", "n", 0.99).alias("p99"),
     )
 
 
