@@ -113,9 +113,18 @@ def _explode_ring_cells(
         "__y", rem % geo_grid.X_MULT
     )
     t = t.withColumn("__dx", F.explode(F.sequence(F.lit(-r_hi), F.lit(r_hi))))
-    t = t.withColumn("__dy", F.explode(F.sequence(F.lit(-r_hi), F.lit(r_hi))))
-    cheb = F.greatest(F.abs(F.col("__dx")), F.abs(F.col("__dy")))
-    t = t.filter(cheb >= r_lo)  # cheb <= r_hi by construction
+    # generate EXACTLY the annulus (no generate-then-filter waste): when
+    # |dx| already reaches r_lo any dy in [-r_hi, r_hi] is in the ring;
+    # otherwise dy is restricted to the two bands [-r_hi,-r_lo]+[r_lo,r_hi]
+    full_dy = F.sequence(F.lit(-r_hi), F.lit(r_hi))
+    if r_lo > 0:
+        bands_dy = F.concat(
+            F.sequence(F.lit(-r_hi), F.lit(-r_lo)), F.sequence(F.lit(r_lo), F.lit(r_hi))
+        )
+        dy_seq = F.when(F.abs(F.col("__dx")) >= r_lo, full_dy).otherwise(bands_dy)
+    else:
+        dy_seq = full_dy
+    t = t.withColumn("__dy", F.explode(dy_seq))
     yy = F.col("__y") + F.col("__dy")
     xx = F.pmod(F.col("__x") + F.col("__dx"), F.lit(n))
     t = t.filter((yy >= 0) & (yy < n))
