@@ -342,11 +342,11 @@ def _rect_bucketed_table(spark: SparkSession) -> str:
     a hash-bucketed table on fij_key (the non-broadcast path)."""
     key = ("rects_bucketed", id(spark.sparkContext))
     if key not in _INDEX_CACHE:
-        import uuid
-
         from insideout_spark.plans.index_build import save_index_bucketed
 
-        name = f"rect_cells_bucketed_{uuid.uuid4().hex[:8]}"
+        # fixed name: save_index_bucketed drops stale tables AND cleans
+        # orphaned locations from previous sessions
+        name = "rect_cells_bucketed"
         save_index_bucketed(_rect_index(spark), name, n_buckets=16)
         _INDEX_CACHE[key] = name
     return _INDEX_CACHE[key]

@@ -459,7 +459,21 @@ def save_index_bucketed(
     alternative to salting (north rule: 'bucketing for co-located
     joins'). The bucket count is recorded in the index manifest so
     pip_join never parses catalog output (VERDICT r02 'Next round'
-    #7); save_index persists it with the rest of the manifest."""
+    #7); save_index persists it with the rest of the manifest.
+
+    Re-saving under the same name is safe across sessions: the stale
+    table is dropped AND an orphaned managed-table location left by a
+    previous session is removed through the Hadoop FS API (a fresh
+    session's catalog doesn't know the old table, so overwrite alone
+    hits LOCATION_ALREADY_EXISTS)."""
+    spark = bundle.cell_index.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    jvm = spark._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = jvm.org.apache.hadoop.fs.Path(wh, table_name.lower())
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     (
         bundle.cell_index.write.bucketBy(n_buckets, "fij_key")
         .sortBy("fij_key")
