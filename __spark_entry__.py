@@ -467,6 +467,19 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(synth_media(_docs(spark, sf_dir)))
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    pair graph (the dedup closer — pairs -> cluster ids -> keep one
+    representative per cluster). Iterative min-label propagation on
+    Spark; the oracle computes the same engine-independent fixpoint
+    with a DuckDB recursive CTE."""
+    from insideout_spark.plans.components import connected_components
+
+    pairs = webtext.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.35)
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "component_id")
+
+
 def _with_prepare(fn):
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prepare(spark)
@@ -504,6 +517,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top10": _q_ann_lsh,
         "ann_ivf_top10": _q_ann_ivf,
         "minhash_lsh_pairs": _q_minhash_pairs,
+        "dedup_components": _q_dedup_components,
         "emb_near_dup_pairs": _q_emb_near_dup,
         "dissolve_golden": _q_dissolve_golden,
         "normalize_cells_golden": _q_normalize_cells,
@@ -674,6 +688,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": webtext_sql.fingerprint_sql(),
         "simhash64": webtext_sql.simhash_sql(),
         "minhash_lsh_pairs": webtext_sql.minhash_pairs_sql(threshold=0.35),
+        # connected components over the same pair graph: iterative
+        # min-label propagation on Spark vs a WITH RECURSIVE fixpoint
+        # in DuckDB — the fixpoint is engine-independent
+        "dedup_components": webtext_sql.components_sql(
+            "SELECT doc_a, doc_b FROM ("
+            + webtext_sql.minhash_pairs_sql(threshold=0.35)
+            + ")"
+        ),
         "ngram_jaccard_pairs": webtext_sql.ngram_pairs_sql(threshold=0.2),
         # sign-random-projection LSH with literal hyperplanes: same
         # seeded planes, same bucket bits, same distinct candidate join,

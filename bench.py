@@ -178,6 +178,7 @@ def run_headline(spark) -> dict[str, float]:
         "ann_lsh_top10",
         "minhash_lsh_pairs",
         "emb_near_dup_pairs",
+        "dedup_components",
     ):
         q[name] = best_of(lambda n=name: queries[n](spark, SF_DIR).count())
     return q

@@ -344,6 +344,24 @@ def embedding_near_dup_sql(
     )
 
 
+def components_sql(pairs_sql: str, a_col: str = "doc_a", b_col: str = "doc_b") -> str:
+    """Oracle for plans/components.connected_components over the pair
+    set produced by `pairs_sql`: WITH RECURSIVE min-label reachability.
+    The component fixpoint (min node id reachable in the undirected
+    pair graph) is engine-independent, so even this ITERATIVE operator
+    gets a value-exact gate."""
+    return (
+        f"WITH RECURSIVE p AS ({pairs_sql}), "
+        f"e AS (SELECT {a_col} AS src, {b_col} AS dst FROM p "
+        f"UNION SELECT {b_col} AS src, {a_col} AS dst FROM p), "
+        "n AS (SELECT DISTINCT src AS node FROM e), "
+        "cc AS (SELECT node, node AS lab FROM n "
+        "UNION SELECT e.dst AS node, cc.lab FROM cc JOIN e ON e.src = cc.node) "
+        "SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS component_id "
+        "FROM cc GROUP BY node"
+    )
+
+
 def multimodal_features_sql(table: str = "documents") -> str:
     """Oracle for plans/multimodal.extract_media_features over
     synth_media: the synthetic payload is the utf-8 bytes of
