@@ -455,6 +455,10 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.simhash64(_docs(spark, sf_dir))
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webtext.simhash_near_dup_pairs(_docs(spark, sf_dir))
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.fingerprint(_docs(spark, sf_dir))
 
@@ -522,6 +526,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_golden": _q_dissolve_golden,
         "normalize_cells_golden": _q_normalize_cells,
         "simhash64": _q_simhash,
+        "simhash_near_dup_pairs": _q_simhash_pairs,
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "multimodal_features": _q_multimodal,
@@ -687,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         # insideout_spark/plans/webtext_sql.py
         "doc_fingerprint": webtext_sql.fingerprint_sql(),
         "simhash64": webtext_sql.simhash_sql(),
+        "simhash_near_dup_pairs": webtext_sql.simhash_pairs_sql(),
         "minhash_lsh_pairs": webtext_sql.minhash_pairs_sql(threshold=0.35),
         # connected components over the same pair graph: iterative
         # min-label propagation on Spark vs a WITH RECURSIVE fixpoint

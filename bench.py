@@ -177,6 +177,7 @@ def run_headline(spark) -> dict[str, float]:
         "ann_cosine_top10",
         "ann_lsh_top10",
         "minhash_lsh_pairs",
+        "simhash_near_dup_pairs",
         "emb_near_dup_pairs",
         "dedup_components",
     ):

@@ -435,6 +435,63 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", text_col).mapInPandas(run, schema="doc_id long, simhash long")
 
 
+_SIMHASH_BANDS = 4  # 4 x 16-bit blocks: exact recall for hamming <= 3
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bucket_cap: int | None = 1024,
+) -> DataFrame:
+    """SimHash near-dup pairs (doc_a, doc_b, hamming): split the 64-bit
+    fingerprint into 4 disjoint 16-bit blocks and self-join on each
+    block (Manku/Jain/Sarma WWW'07 block-permuted scheme, one rotation
+    set). Pigeonhole makes the candidate recall EXACT for
+    max_hamming < 4: a pair within Hamming distance 3 differs in at
+    most 3 blocks, so it collides on at least one — unlike MinHash
+    banding there is no probabilistic miss. Candidates are rescored
+    exactly JVM-side with bit_count(xor). Scale shape: one shuffle on
+    the (block, value) key — 2^16 buckets per block so web-scale tables
+    spread — with the same per-bucket cap / star-to-representative
+    bound as MinHash (`_capped_bucket_pairs`); the pair dedup shuffle
+    carries only (doc_a, doc_b). Fingerprint-level dedup analog of the
+    reference's identical-result dedup (index.go:71-74, dedup of
+    posting hits); DuckDB oracle: webtext_sql.simhash_pairs_sql."""
+    sh = simhash64(docs, text_col).cache()
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bv"),
+                    )
+                    for i in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bv")
+    pairs = _capped_bucket_pairs(
+        bands, ["band", "bv"], "doc_id", "doc_a", "doc_b", bucket_cap
+    )
+    pairs = pairs.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb")),
+        "doc_b",
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    return (
+        pairs.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.3
 ) -> DataFrame:

@@ -178,6 +178,38 @@ def minhash_pairs_sql(
     )
 
 
+def simhash_pairs_sql(
+    table: str = "documents",
+    max_hamming: int = 3,
+    bucket_cap: int | None = 1024,
+) -> str:
+    """Oracle for webtext.simhash_near_dup_pairs: identical fingerprints
+    (simhash_sql as a CTE), identical 4 x 16-bit block banding (unsigned
+    reinterpretation of the signed int64, then divide/modulo — the SQL
+    twin of shiftrightunsigned + mask), identical bucket-cap star
+    semantics, exact bit_count(xor) Hamming rescoring."""
+    divisors = ", ".join(
+        f"({i}, CAST({1 << (16 * i)} AS HUGEINT))"
+        for i in range(webtext._SIMHASH_BANDS)
+    )
+    pairs = capped_pairs_sql(
+        "bands", ("band", "bv"), "doc_id", "doc_a", "doc_b", bucket_cap
+    )
+    return (
+        f"WITH sh AS ({simhash_sql(table)}), "
+        "u AS (SELECT doc_id, CAST(CASE WHEN simhash < 0 "
+        f"THEN simhash + {_TWO64} ELSE simhash END AS HUGEINT) AS u FROM sh), "
+        "bands AS (SELECT doc_id, band, CAST((u // dv) % 65536 AS BIGINT) AS bv "
+        f"FROM u, (VALUES {divisors}) AS bt(band, dv)), "
+        f"pairs AS ({pairs}) "
+        "SELECT p.doc_a, p.doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+        "FROM pairs p JOIN sh a ON a.doc_id = p.doc_a "
+        "JOIN sh b ON b.doc_id = p.doc_b "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {int(max_hamming)}"
+    )
+
+
 def ngram_pairs_sql(
     table: str = "documents", n: int = 3, threshold: float = 0.2
 ) -> str:

@@ -402,3 +402,43 @@ def test_embedding_near_dup_pairs(spark):
     assert (0, 100) in pairs and (0, 101) in pairs and (100, 101) in pairs
     assert all(v >= 0.95 for v in pairs.values())
     assert not any(a < 50 and b < 50 for (a, b) in pairs)
+
+
+def test_simhash_pairs_exact_recall_vs_brute(spark, dup_docs):
+    """Pigeonhole property: with 4 disjoint 16-bit blocks, the banded
+    candidate join finds EVERY pair within Hamming distance 3 — so the
+    operator's output must equal a brute-force all-pairs scan of the
+    same fingerprints (no probabilistic miss, unlike MinHash)."""
+    sh = {r["doc_id"]: r["simhash"] for r in webtext.simhash64(dup_docs).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    ids = sorted(sh)
+    brute = {
+        (a, b, ham(sh[a], sh[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if ham(sh[a], sh[b]) <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in webtext.simhash_near_dup_pairs(dup_docs).collect()
+    }
+    assert got == brute
+    # the planted exact dup (100/103) is a hamming-0 pair
+    assert (100, 103, 0) in got
+
+
+def test_simhash_pairs_bucket_cap_star(spark):
+    """A near-identical cluster under a tiny bucket cap collapses to a
+    star on the min-id representative: every member still connects to
+    the cluster, and the pair count is linear, not quadratic."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [(i, base) for i in range(20)]  # identical => identical simhash
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = webtext.simhash_near_dup_pairs(df, bucket_cap=5).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # star: 19 pairs all anchored at doc 0, not C(20,2)=190
+    assert got == {(0, b) for b in range(1, 20)}
+    assert all(r["hamming"] == 0 for r in pairs)
