@@ -459,6 +459,10 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.simhash_near_dup_pairs(_docs(spark, sf_dir))
 
 
+def _q_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webtext.vocab_topk(_docs(spark, sf_dir), k=100)
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.fingerprint(_docs(spark, sf_dir))
 
@@ -527,6 +531,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_cells_golden": _q_normalize_cells,
         "simhash64": _q_simhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,
+        "vocab_top100": _q_vocab_top100,
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "multimodal_features": _q_multimodal,
@@ -664,6 +669,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_ws_tokens, "
             f"CAST(len(regexp_extract_all(text, '{webtext.BPE_SPLIT_PATTERN}')) AS BIGINT) AS n_bpe_pieces, "
             "CAST(CEIL(strlen(text) / 4.0e0) AS BIGINT) AS n_bpe_budget FROM documents"
+        ),
+        "vocab_top100": (
+            "WITH tok AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(text, '[ \\t\\r\\n]+'), t -> length(t) > 0)) AS token "
+            "FROM documents) "
+            "SELECT token, count(*) AS n_occurrences, "
+            "count(DISTINCT doc_id) AS n_docs, "
+            "CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS rank "
+            "FROM tok GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100"
         ),
         "ann_cosine_top10": (
             "WITH e AS (SELECT vec_id, "

@@ -140,6 +140,44 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocab_topk(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k whitespace tokens by total occurrences
+    (token, n_occurrences, n_docs, rank) — the first step of any
+    tokenizer/vocab build over a training corpus. Scale shape: the
+    token aggregation is one map-side-combinable shuffle on the token
+    (partial counts per partition, so a 100 TB corpus shuffles only
+    distinct-token partials, not occurrences), and the global top-k is
+    ORDER BY + LIMIT, which Spark executes as TakeOrderedAndProject —
+    each partition keeps k rows, no global sort materialization. The
+    tiebreak (count desc, token asc) makes the result deterministic
+    and the rank a pure function of the aggregate, so the DuckDB
+    oracle is value-exact."""
+    toks = F.explode(
+        F.filter(
+            F.split(F.col(text_col), "[ \\t\\r\\n]+"),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    per_tok = (
+        docs.select("doc_id", toks.alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    # the window runs over k rows only (post-limit), not the vocabulary
+    return per_tok.select(
+        "token",
+        "n_occurrences",
+        "n_docs",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # fingerprinting / MinHash / SimHash (vectorized pandas UDFs)
 # ---------------------------------------------------------------------------

@@ -442,3 +442,19 @@ def test_simhash_pairs_bucket_cap_star(spark):
     # star: 19 pairs all anchored at doc 0, not C(20,2)=190
     assert got == {(0, b) for b in range(1, 20)}
     assert all(r["hamming"] == 0 for r in pairs)
+
+
+def test_vocab_topk(spark, dup_docs):
+    """Top-k vocabulary: deterministic (count desc, token asc) order,
+    dense correct counts on a known corpus."""
+    out = webtext.vocab_topk(dup_docs, k=5).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    # 'the' appears 5x in the base sentence, which exists ~4x (+variants)
+    assert out[0]["token"] == "the"
+    assert out[0]["n_docs"] == 4  # docs 100-103 only
+    # counts non-increasing; ties broken by token ascending
+    pairs = [(r["n_occurrences"], r["token"]) for r in out]
+    assert all(
+        a[0] > b[0] or (a[0] == b[0] and a[1] < b[1])
+        for a, b in zip(pairs, pairs[1:])
+    )
