@@ -167,6 +167,35 @@ def _auto_res(targets: DataFrame, k: int) -> int:
     return geo_grid.MAX_RES
 
 
+def _bump_res_for_density(
+    targets: DataFrame, res: int, k: int, target_id_col: str
+) -> int:
+    """Bound the ring-join fan-out: at a too-coarse resolution every
+    target lands in a handful of cells and the 'ring join' degenerates
+    into the full cross join (measured: res=7 on a 2.5-degree bbox with
+    1 M points x 10 k targets never finishes — the whole bbox spans ~6
+    cells, so round 1 IS points x targets). The grid is earth-fixed,
+    not extent-fitted, so a plausible-looking literal res can be
+    arbitrarily coarse for a regional dataset. Treat `res` as a hint:
+    while the fullest cell holds more than max(64, 8k) targets, refine.
+    Each probe is one tiny aggregate over the (small) target side; the
+    result is exact at ANY resolution, so bumping never changes rows —
+    only the plan shape."""
+    cap = max(64, 8 * k)
+    while res < geo_grid.MAX_RES:
+        mx = (
+            targets.select(grid_cell_expr("lat", "lng", res).alias("__c"))
+            .groupBy("__c")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        if mx is None or mx <= cap:
+            break
+        res += 1
+    return res
+
+
 def knn_join(
     points: DataFrame,
     targets: DataFrame,
@@ -213,6 +242,11 @@ def knn_cell_join(
     """Exact kNN via iterative cell-ring expansion; returns
     (id, target_id, dist_sq, rank) identical to `knn_brute`.
 
+    `res` is a HINT: it is density-bumped (`_bump_res_for_density`)
+    until the fullest target cell is bounded, because a too-coarse
+    earth-fixed grid turns round 1 into the full cross join. The
+    result is identical at any resolution.
+
     Round structure (each round is ONE broadcast join + ONE
     aggregation; radii grow geometrically 1, 2, 4, ... so the number
     of Spark jobs is O(log max_radius), typically 1-2):
@@ -242,6 +276,7 @@ def knn_cell_join(
         release_round_caches()
     if res is None:
         res = _auto_res(targets, k)
+    res = _bump_res_for_density(targets, res, k, target_id_col)
     n = 1 << res
     step = min(geo_grid.cell_width(res), geo_grid.cell_height(res))
     # ring rounds need r_hi < n/2 for wrap injectivity; beyond that the
