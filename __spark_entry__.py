@@ -30,6 +30,8 @@ from insideout_spark.plans import webtext  # noqa: E402
 from insideout_spark.plans import webtext_sql  # noqa: E402
 from insideout_spark.plans.index_build import build_index  # noqa: E402
 from insideout_spark.plans.knn import knn_cell_join  # noqa: E402
+from insideout_spark.plans import multimodal as mm  # noqa: E402
+from insideout_spark.plans import multimodal_sql as mm_sql  # noqa: E402
 from insideout_spark.plans.multimodal import extract_media_features, synth_media  # noqa: E402
 from insideout_spark.plans.pip_join import pip_join  # noqa: E402
 from insideout_spark.plans.tiles import assign_tiles, grid_cell_bounds_cols  # noqa: E402
@@ -475,6 +477,20 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(synth_media(_docs(spark, sf_dir)))
 
 
+def _q_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode path: synthesize genuine RIFF/WAVE PCM16 bytes, then
+    parse them back with the byte-level chunk walker; the oracle
+    replays the generator formula, never the bytes, so the match
+    proves the container round trip."""
+    return mm.audio_features(mm.synth_wav_media(_docs(spark, sf_dir)))
+
+
+def _q_image_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode path for BMP24 (bottom-up BGR rows, 4-byte padding);
+    same independent-oracle scheme as the WAV query."""
+    return mm.image_features(mm.synth_bmp_media(_docs(spark, sf_dir)))
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH
     pair graph (the dedup closer — pairs -> cluster ids -> keep one
@@ -535,6 +551,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "multimodal_features": _q_multimodal,
+        "audio_wav_features": _q_audio_wav,
+        "image_bmp_features": _q_image_bmp,
     }
 
 
@@ -743,6 +761,11 @@ def oracle_sql() -> dict[str, str]:
         # fake-decode stats replay exactly in SQL (the REAL codec stays
         # a declared stub; this gates the plumbing + stat arithmetic)
         "multimodal_features": webtext_sql.multimodal_features_sql(),
+        # real-decoder gates: DuckDB replays the sample/pixel generator
+        # formula; Spark goes formula -> real WAV/BMP bytes -> real
+        # parser -> stats (insideout_spark/plans/multimodal_sql.py)
+        "audio_wav_features": mm_sql.audio_features_sql(),
+        "image_bmp_features": mm_sql.image_features_sql(),
         # IVF: the sampled k-means TRAINING has no SQL form, but the
         # SERVING path does (VERDICT r02 'Next round' #1) — train once
         # from the gate's parquet (driver gate runs at sf0.01), pin the

@@ -178,6 +178,8 @@ def run_headline(spark) -> dict[str, float]:
         "ann_lsh_top10",
         "minhash_lsh_pairs",
         "simhash_near_dup_pairs",
+        "audio_wav_features",
+        "image_bmp_features",
         "emb_near_dup_pairs",
         "dedup_components",
     ):

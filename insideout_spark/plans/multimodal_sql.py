@@ -1,0 +1,72 @@
+"""DuckDB oracles for the REAL uncompressed-container decoders in
+plans/multimodal.py (WAV PCM16 / BMP24).
+
+The oracle never touches the payload bytes: it replays the sample /
+pixel GENERATOR FORMULA (splitmix64 over a per-doc counter stream) and
+aggregates the same exact-integer stats. The Spark side goes
+formula -> real container bytes -> real parser -> stats, so a gate
+match proves the write->parse round trip of the container layout
+(chunk offsets, endianness, bottom-up rows, BGR order, row padding) —
+two independent routes to the same integers.
+"""
+
+from __future__ import annotations
+
+from .webtext_sql import _SM_ADD, _SM_M1, _SM_M2, _TWO64, _mulmod64_sql
+
+
+def splitmix64_sql(x_expr: str) -> str:
+    """SQL twin of sources/pages._splitmix64 for a HUGEINT expression in
+    [0, 2^64) — identical add/xor-shift/multiply pipeline mod 2^64."""
+    x = f"((({x_expr}) + {_SM_ADD}) % {_TWO64})"
+    z1 = _mulmod64_sql(f"xor({x}, ({x}) // {1 << 30})", _SM_M1)
+    z2 = _mulmod64_sql(f"xor({z1}, ({z1}) // {1 << 27})", _SM_M2)
+    return f"xor({z2}, ({z2}) // {1 << 31})"
+
+
+def audio_features_sql(table: str = "documents") -> str:
+    """Oracle for multimodal.audio_features over synth_wav_media:
+    n_samples = 160 + doc_id % 441, rate = 8000 + (doc_id % 3) * 4025,
+    sample_i = int16(splitmix64(doc_id * 2^32 + i) & 0xFFFF)."""
+    h = splitmix64_sql(f"(CAST(doc_id AS HUGEINT) * {1 << 32} + i) % {_TWO64}")
+    return (
+        f"WITH dims AS (SELECT doc_id, 160 + doc_id % 441 AS n, "
+        f"8000 + (doc_id % 3) * 4025 AS rate FROM {table}), "
+        "idx AS (SELECT doc_id, n, rate, unnest(range(0, n)) AS i FROM dims), "
+        f"smp AS (SELECT doc_id, rate, i, CAST(({h}) % 65536 AS BIGINT) AS v "
+        "FROM idx), "
+        "s AS (SELECT doc_id, rate, i, "
+        "CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s FROM smp) "
+        "SELECT doc_id, CAST(any_value(rate) AS INTEGER) AS sample_rate, "
+        "CAST(count(*) AS INTEGER) AS n_samples, "
+        "CAST(max(abs(s)) AS BIGINT) AS peak, "
+        "CAST(sum(s * s) AS BIGINT) AS sum_sq, "
+        "CAST(sum((i + 1) * s) AS BIGINT) AS wsum "
+        "FROM s GROUP BY doc_id"
+    )
+
+
+def image_features_sql(table: str = "documents") -> str:
+    """Oracle for multimodal.image_features over synth_bmp_media:
+    w = 1 + doc_id % 13, h = 1 + doc_id % 7, pixel idx in top-down
+    raster order, (r,g,b) = low 3 bytes of
+    splitmix64(doc_id * 2^32 + 2^31 + idx)."""
+    h = splitmix64_sql(
+        f"(CAST(doc_id AS HUGEINT) * {1 << 32} + {1 << 31} + i) % {_TWO64}"
+    )
+    return (
+        f"WITH dims AS (SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 7 AS ht "
+        f"FROM {table}), "
+        "idx AS (SELECT doc_id, w, ht, unnest(range(0, w * ht)) AS i FROM dims), "
+        f"px AS (SELECT doc_id, w, ht, i, ({h}) AS hv FROM idx), "
+        "c AS (SELECT doc_id, w, ht, i, "
+        "CAST(hv % 256 AS BIGINT) AS r, "
+        "CAST((hv // 256) % 256 AS BIGINT) AS g, "
+        "CAST((hv // 65536) % 256 AS BIGINT) AS b FROM px) "
+        "SELECT doc_id, CAST(any_value(w) AS INTEGER) AS width, "
+        "CAST(any_value(ht) AS INTEGER) AS height, "
+        "CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g, "
+        "CAST(sum(b) AS BIGINT) AS sum_b, "
+        "CAST(sum((i + 1) * r) AS BIGINT) AS wsum_r "
+        "FROM c GROUP BY doc_id"
+    )

@@ -458,3 +458,48 @@ def test_vocab_topk(spark, dup_docs):
         a[0] > b[0] or (a[0] == b[0] and a[1] < b[1])
         for a, b in zip(pairs, pairs[1:])
     )
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """decode_wav is a real parser: round-trips the generator, and
+    handles layouts the generator never writes — an extra odd-sized
+    chunk before fmt (RIFF pads odd chunks to even)."""
+    import struct
+
+    from insideout_spark.plans import multimodal as mm
+
+    rate, s = mm.decode_wav(mm._synth_wav_bytes(7))
+    n, want_rate = mm._wav_params(7)
+    assert rate == want_rate and len(s) == n
+    # splice an odd-size LIST chunk in front of fmt
+    raw = mm._synth_wav_bytes(7)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad to even
+    spliced = raw[:12] + extra + raw[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate2, s2 = mm.decode_wav(spliced)
+    assert rate2 == rate and (s2 == s).all()
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFFxxxxAVI " + b"\x00" * 32)
+
+
+def test_bmp_roundtrip_padding_and_topdown():
+    """decode_bmp honors bottom-up BGR + row padding (round trip vs the
+    generator's logical pixels) AND the negative-height top-down
+    variant the generator never writes."""
+    import struct
+
+    from insideout_spark.plans import multimodal as mm
+
+    for did in (5, 12, 25):  # widths 6, 13, 1 -> paddings 2, 1, 1
+        w, h = mm._bmp_dims(did)
+        got = mm.decode_bmp(mm._synth_bmp_bytes(did))
+        want = mm._bmp_pixels(did, w, h)
+        assert got.shape == (h, w, 3) and (got == want).all()
+    # top-down: negative height, rows stored first-row-first
+    w, h = 3, 2
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    stride_pad = b"\x00" * ((-w * 3) % 4)
+    body = b"".join(px[y, :, ::-1].tobytes() + stride_pad for y in range(h))
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    payload = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54) + info + body
+    assert (mm.decode_bmp(payload) == px).all()
