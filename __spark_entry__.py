@@ -465,6 +465,10 @@ def _q_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.vocab_topk(_docs(spark, sf_dir), k=100)
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webtext.repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.fingerprint(_docs(spark, sf_dir))
 
@@ -548,6 +552,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": _q_simhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,
         "vocab_top100": _q_vocab_top100,
+        "repetition_stats": _q_repetition_stats,
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "multimodal_features": _q_multimodal,
@@ -687,6 +692,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_ws_tokens, "
             f"CAST(len(regexp_extract_all(text, '{webtext.BPE_SPLIT_PATTERN}')) AS BIGINT) AS n_bpe_pieces, "
             "CAST(CEIL(strlen(text) / 4.0e0) AS BIGINT) AS n_bpe_budget FROM documents"
+        ),
+        # structurally different oracle on purpose: Spark computes the
+        # per-doc mode counts with a shuffle-free sorted-array linear
+        # fold; DuckDB counts multiplicities via unnest + GROUP BY
+        "repetition_stats": (
+            "WITH base AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '[ \\t\\r\\n]+'), t -> length(t) > 0) AS toks "
+            "FROM documents), "
+            "t AS (SELECT doc_id, unnest(toks) AS tok FROM base), "
+            "tc AS (SELECT doc_id, count(*) AS c FROM t GROUP BY doc_id, tok), "
+            "ta AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, "
+            "max(c) AS top_tok FROM tc GROUP BY doc_id), "
+            "b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM base), "
+            "bc AS (SELECT doc_id, count(*) AS c FROM b GROUP BY doc_id, bg), "
+            "ba AS (SELECT doc_id, max(c) AS top_bg FROM bc GROUP BY doc_id) "
+            "SELECT base.doc_id, CAST(coalesce(ta.n_tokens, 0) AS BIGINT) AS n_tokens, "
+            "CAST(coalesce(ta.n_distinct, 0) AS BIGINT) AS n_distinct_tokens, "
+            "CAST(coalesce(ta.top_tok, 0) AS BIGINT) AS top_token_count, "
+            "CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(coalesce(ba.top_bg, 0) AS BIGINT) AS top_bigram_count "
+            "FROM base LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)"
         ),
         "vocab_top100": (
             "WITH tok AS (SELECT doc_id, unnest(list_filter("

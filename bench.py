@@ -171,6 +171,8 @@ def run_headline(spark) -> dict[str, float]:
         "dedup_exact",
         "doc_stats",
         "quality_rules",
+        "repetition_stats",
+        "vocab_top100",
         "simhash64",
         "doc_fingerprint",
         "ngram_jaccard_pairs",

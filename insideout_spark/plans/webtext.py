@@ -140,6 +140,67 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _max_run_count(arr_col):
+    """Highest multiplicity of any element in a string array, computed
+    WITHOUT a shuffle: sort the array, then a single linear fold
+    (Catalyst `aggregate`) tracking the current and best run length.
+    O(n log n) per row inside codegen — the per-doc mode count never
+    leaves the row, unlike an explode + groupBy(doc, token) plan whose
+    shuffle would carry every token occurrence."""
+    sorted_a = F.sort_array(arr_col)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def merge(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    return F.aggregate(sorted_a, init, merge, lambda acc: acc["best"])
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    quality rules: excessive repeated words / n-grams mark low-quality
+    or boilerplate text): token count, distinct-token count, the top
+    single-token multiplicity, bigram count, and the top word-bigram
+    multiplicity — all exact integers. The ratios a filter thresholds
+    on (top_token_count / n_tokens etc.) are left to the caller so the
+    gate compares integers, not float division.
+
+    Scale shape: everything is per-row Catalyst (split, sort, linear
+    fold) — ZERO shuffle, embarrassingly parallel over any corpus. The
+    DuckDB oracle intentionally takes a structurally different route
+    (unnest + GROUP BY multiplicity counting), so a value match checks
+    the algorithm, not a shared formula."""
+    toks = F.filter(
+        F.split(F.col(text_col), "[ \\t\\r\\n]+"), lambda t: F.length(t) > 0
+    )
+    d = docs.select("doc_id", toks.alias("__toks"))
+    n = F.size("__toks")
+    bigrams = F.zip_with(
+        F.slice("__toks", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("__toks", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).cast("long").alias("n_distinct_tokens"),
+        _max_run_count(F.col("__toks")).alias("top_token_count"),
+        F.greatest(n - 1, F.lit(0)).cast("long").alias("n_bigrams"),
+        _max_run_count(bigrams).alias("top_bigram_count"),
+    )
+
+
 def vocab_topk(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
     """Corpus vocabulary: top-k whitespace tokens by total occurrences
     (token, n_occurrences, n_docs, rank) — the first step of any

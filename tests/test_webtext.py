@@ -503,3 +503,21 @@ def test_bmp_roundtrip_padding_and_topdown():
     info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(body), 0, 0, 0, 0)
     payload = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54) + info + body
     assert (mm.decode_bmp(payload) == px).all()
+
+
+def test_repetition_stats_known_values(spark):
+    """Exact Gopher-style repetition counters on a hand-checked corpus,
+    including the empty and single-token edge cases."""
+    rows = [
+        (1, "a b a b a c"),      # 6 toks, 3 distinct, top tok 'a'=3,
+                                  # bigrams: ab ba ab ba ac -> top 'a b'=2
+        (2, "word"),              # 1 token, no bigrams
+        (3, "   "),               # whitespace only -> zero everything
+        (4, "x x x x"),           # all same: top tok 4, top bigram 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in webtext.repetition_stats(df).collect()}
+    assert tuple(got[1])[1:] == (6, 3, 3, 5, 2)
+    assert tuple(got[2])[1:] == (1, 1, 1, 0, 0)
+    assert tuple(got[3])[1:] == (0, 0, 0, 0, 0)
+    assert tuple(got[4])[1:] == (4, 1, 4, 3, 3)
