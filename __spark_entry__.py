@@ -30,6 +30,7 @@ from insideout_spark.plans import webtext  # noqa: E402
 from insideout_spark.plans import webtext_sql  # noqa: E402
 from insideout_spark.plans.index_build import build_index  # noqa: E402
 from insideout_spark.plans.knn import knn_cell_join  # noqa: E402
+from insideout_spark.plans import metrics as _metrics  # noqa: E402
 from insideout_spark.plans import multimodal as mm  # noqa: E402
 from insideout_spark.plans import multimodal_sql as mm_sql  # noqa: E402
 from insideout_spark.plans.multimodal import extract_media_features, synth_media  # noqa: E402
@@ -281,6 +282,16 @@ def _q_event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return value_stats(events.select("event_type", "value"), "event_type", "value")
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based user sessions over the event stream: one shuffle on
+    user_id; lag + running-sum windows and the session aggregation all
+    share that partitioning. Exact integer microseconds throughout."""
+    from insideout_spark.plans.metrics import sessionize
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize(events)
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,6 +548,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn3_cell_join": _q_knn,
         "knn3_brute": _q_knn_brute,
         "event_value_stats": _q_event_value_stats,
+        "sessionize_30m": _q_sessionize,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
         "lang_guess": _q_lang_guess,
@@ -651,6 +663,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn3_cell_join": _knn3_oracle(),
         "knn3_brute": _knn3_oracle(),
+        # epoch_us == unix_micros for parquet TIMESTAMP: all-integer
+        # session rollup, no float comparison anywhere
+        "sessionize_30m": _metrics.sessionize_sql(),
         # percentiles mirror plans/metrics._interp_pct verbatim —
         # v_lo + (v_hi - v_lo) * frac over the sorted array (NOT
         # quantile_cont, whose algebraically-equal formula differs by

@@ -168,6 +168,7 @@ def run_headline(spark) -> dict[str, float]:
         "grid_assign_r7",
         "s2_assign_l10",
         "knn3_cell_join",
+        "sessionize_30m",
         "dedup_exact",
         "doc_stats",
         "quality_rules",

@@ -101,3 +101,72 @@ def get_feature(index, feature_id: int, loop_pos: int | None = None) -> DataFram
     if loop_pos is not None:
         df = df.filter(F.col("loop_pos") == int(loop_pos))
     return df
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization of an event stream: a new session starts
+    when a user's inter-event gap exceeds `gap_minutes`. The canonical
+    time-series rollup a training-data/telemetry pipeline needs and the
+    reference never had (events are the driver's synthetic table).
+
+    Output: (user_id, session_seq, n_events, start_us, end_us,
+    duration_us) — all exact integers (epoch microseconds), so the
+    DuckDB oracle is value-exact with no float comparison.
+
+    Scale shape: ONE shuffle on user_id; the lag/running-sum window is
+    linear per user with bounded state, and the session aggregation
+    reuses the same partitioning (no second Exchange). Skewed users
+    (bots) are bounded by their own event counts; AQE skew-split
+    applies. Deterministic: windows order by (ts, event_id) — a total
+    order — and equal-ts ties cannot change gap flags (gap uses ts
+    only)."""
+    from pyspark.sql import Window
+
+    # parquet writes TIMESTAMP_NTZ here; unix_micros only takes TZ
+    # timestamps, so measure microseconds from the NTZ epoch directly —
+    # no session-timezone reinterpretation anywhere (DuckDB's
+    # epoch_us(naive ts) is the same naive-as-UTC convention)
+    ts_us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"),
+    )
+    gap_us = int(gap_minutes) * 60_000_000
+    w = Window.partitionBy(user_col).orderBy("ts_us", id_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = events.select(user_col, id_col, ts_us.alias("ts_us"))
+    prev = F.lag("ts_us").over(w)
+    is_new = (prev.isNull() | (F.col("ts_us") - prev > gap_us)).cast("long")
+    s = e.withColumn("session_seq", F.sum(is_new).over(run))
+    return s.groupBy(user_col, "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+def sessionize_sql(table: str = "events", gap_minutes: int = 30) -> str:
+    """DuckDB oracle twin of `sessionize` (epoch_us == unix_micros for
+    parquet TIMESTAMP microsecond precision)."""
+    gap_us = int(gap_minutes) * 60_000_000
+    return (
+        f"WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM {table}), "
+        "m AS (SELECT user_id, event_id, ts_us, "
+        "CASE WHEN lag(ts_us) OVER w IS NULL "
+        f"OR ts_us - lag(ts_us) OVER w > {gap_us} THEN 1 ELSE 0 END AS is_new "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), "
+        "s AS (SELECT user_id, ts_us, sum(is_new) OVER "
+        "(PARTITION BY user_id ORDER BY ts_us, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS session_seq FROM m) "
+        "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, "
+        "count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us, "
+        "max(ts_us) - min(ts_us) AS duration_us "
+        "FROM s GROUP BY user_id, session_seq"
+    )
