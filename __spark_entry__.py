@@ -30,6 +30,7 @@ from insideout_spark.plans import webtext  # noqa: E402
 from insideout_spark.plans import webtext_sql  # noqa: E402
 from insideout_spark.plans.index_build import build_index  # noqa: E402
 from insideout_spark.plans.knn import knn_cell_join  # noqa: E402
+from insideout_spark.plans import asof as _asof  # noqa: E402
 from insideout_spark.plans import metrics as _metrics  # noqa: E402
 from insideout_spark.plans import multimodal as mm  # noqa: E402
 from insideout_spark.plans import multimodal_sql as mm_sql  # noqa: E402
@@ -294,6 +295,19 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(events)
 
 
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'error' event matched to the latest same-user
+    'click' at or before it. Spark runs the union-merge single-shuffle
+    plan; DuckDB runs its NATIVE ASOF LEFT JOIN — two independent
+    algorithms for the same semantics."""
+    from insideout_spark.plans.asof import asof_join
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    errors = events.filter(F.col("event_type") == "error")
+    clicks = events.filter(F.col("event_type") == "click")
+    return asof_join(errors, clicks)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.exact_dedup_groups(_docs(spark, sf_dir))
 
@@ -549,6 +563,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn3_brute": _q_knn_brute,
         "event_value_stats": _q_event_value_stats,
         "sessionize_30m": _q_sessionize,
+        "asof_click_before_error": _q_asof,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
         "lang_guess": _q_lang_guess,
@@ -666,6 +681,12 @@ def oracle_sql() -> dict[str, str]:
         # epoch_us == unix_micros for parquet TIMESTAMP: all-integer
         # session rollup, no float comparison anywhere
         "sessionize_30m": _metrics.sessionize_sql(),
+        # engine-NATIVE DuckDB ASOF JOIN vs Spark's union-merge plan:
+        # independent algorithms, same semantics
+        "asof_click_before_error": _asof.asof_join_sql(
+            "SELECT * FROM events WHERE event_type = 'error'",
+            "SELECT * FROM events WHERE event_type = 'click'",
+        ),
         # percentiles mirror plans/metrics._interp_pct verbatim —
         # v_lo + (v_hi - v_lo) * frac over the sorted array (NOT
         # quantile_cont, whose algebraically-equal formula differs by

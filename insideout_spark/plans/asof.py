@@ -1,0 +1,112 @@
+"""As-of join — for each left event, the most recent right row with
+rts <= ts for the same key. The canonical time-series join (market
+data, telemetry enrichment) that Spark's joins don't express directly
+(a range-join would be O(n*m) per key); named in the build brief as a
+first-class custom operator.
+
+Implementation (scale-first): the classic union-merge — tag both
+streams, sort within each key by (ts, side), and carry the latest
+right row forward with last(ignorenulls) over a running window. ONE
+shuffle on the key, linear per key, bounded state; no per-key
+collect, no range cross join. At 100 TB this is the plan you want: a
+single Exchange on user_id and a sort that AQE sizes per partition.
+
+The DuckDB oracle is the engine's NATIVE `ASOF LEFT JOIN` — an
+entirely independent implementation of the same semantics, so the
+driver gate cross-checks the algorithm, not a mirrored formula.
+
+Determinism: right rows are pre-collapsed to one row per (key, rts)
+(max right-id wins), so ties cannot make the match ambiguous in
+either engine; on rts == ts the right row matches (inclusive), which
+the union-merge realizes by sorting right rows before left rows at
+equal timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_EPOCH_NTZ = "1970-01-01 00:00:00"
+
+
+def _ntz_us(col):
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit(_EPOCH_NTZ).cast("timestamp_ntz"),
+        col.cast("timestamp_ntz"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    left_id_col: str = "event_id",
+    right_id_col: str = "event_id",
+) -> DataFrame:
+    """(key, left_id, ts_us, right_id, rts_us): latest right row at or
+    before each left row's timestamp, per key; right_id/rts_us NULL
+    when no right row precedes. Both inputs need (key, id, ts)."""
+    r = (
+        right.select(
+            F.col(key_col).alias("k"),
+            _ntz_us(F.col(ts_col)).alias("rts_us"),
+            F.col(right_id_col).alias("rid"),
+        )
+        # one row per (key, rts): max id wins — both engines agree
+        .groupBy("k", "rts_us")
+        .agg(F.max("rid").alias("rid"))
+        .select(
+            "k",
+            F.col("rts_us").alias("ts_us"),
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("lid"),
+            F.struct(F.col("rts_us"), F.col("rid")).alias("rmatch"),
+        )
+    )
+    l = left.select(
+        F.col(key_col).alias("k"),
+        _ntz_us(F.col(ts_col)).alias("ts_us"),
+        F.lit(1).alias("side"),
+        F.col(left_id_col).alias("lid"),
+        F.lit(None).cast("struct<rts_us:long,rid:long>").alias("rmatch"),
+    )
+    u = r.unionByName(l)
+    # right (side 0) sorts before left (side 1) at equal ts => inclusive
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts_us", "side", "lid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("rmatch", ignorenulls=True).over(w)
+    return (
+        u.withColumn("__m", carried)
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("k").alias(key_col),
+            F.col("lid").alias("left_id"),
+            "ts_us",
+            F.col("__m.rid").alias("right_id"),
+            F.col("__m.rts_us").alias("rts_us"),
+        )
+    )
+
+
+def asof_join_sql(
+    left_sql: str,
+    right_sql: str,
+    key_col: str = "user_id",
+) -> str:
+    """DuckDB oracle: the engine-native ASOF LEFT JOIN over the same
+    (key, id, ts) inputs, with the same (key, rts)->max(id) collapse."""
+    return (
+        f"WITH l AS (SELECT {key_col} AS k, event_id AS left_id, "
+        f"epoch_us(ts) AS ts_us FROM ({left_sql})), "
+        f"r AS (SELECT {key_col} AS k, epoch_us(ts) AS rts_us, "
+        f"max(event_id) AS rid FROM ({right_sql}) GROUP BY 1, 2) "
+        f"SELECT l.k AS {key_col}, l.left_id, l.ts_us, "
+        "r.rid AS right_id, r.rts_us "
+        "FROM l ASOF LEFT JOIN r ON l.k = r.k AND r.rts_us <= l.ts_us"
+    )

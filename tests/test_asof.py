@@ -1,0 +1,51 @@
+"""As-of join: hand-checked matches (inclusive ties, no-match nulls,
+per-key isolation) + the single-shuffle plan contract."""
+
+import datetime as dt
+
+from insideout_spark.plans.asof import asof_join
+
+
+def _t(minutes, us=0):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes, microseconds=us)
+
+
+SCHEMA = "event_id long, ts timestamp_ntz, user_id long"
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (100, _t(10), 1),  # matches rid 2 (ts 5 < 10)
+            (101, _t(5), 1),   # tie: right at exactly 5 matches (inclusive)
+            (102, _t(1), 1),   # before any right row -> NULL
+            (103, _t(10), 2),  # other key: only key-2 rights considered
+        ],
+        SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _t(3), 1),
+            (2, _t(5), 1),
+            (3, _t(5), 1),   # duplicate (key, ts): max id (3) wins
+            (4, _t(20), 1),  # later than every left row -> never matches
+            (5, _t(9), 2),
+        ],
+        SCHEMA,
+    )
+    got = {
+        r["left_id"]: (r["right_id"], r["rts_us"])
+        for r in asof_join(left, right).collect()
+    }
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    m5 = base + 5 * 60_000_000
+    assert got[100] == (3, m5)
+    assert got[101] == (3, m5)
+    assert got[102] == (None, None)
+    assert got[103] == (5, base + 9 * 60_000_000)
+
+
+def test_asof_join_single_shuffle(spark):
+    df = spark.createDataFrame([(0, _t(0), 1)], SCHEMA)
+    plan = asof_join(df, df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # right-side pre-collapse + key window
