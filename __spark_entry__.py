@@ -308,6 +308,26 @@ def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(errors, clicks)
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks inside 10-minute incident windows opened by
+    same-user errors. Spark runs the bucketed rewrite (explode interval
+    -> equi-join on (key, bucket) -> exact filter; each point has ONE
+    bucket so no dedup); DuckDB runs the plain inequality theta join."""
+    from insideout_spark.plans.asof import _ntz_us, range_join
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", _ntz_us(F.col("ts")).alias("ts_us")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        _ntz_us(F.col("ts")).alias("start_us"),
+        (_ntz_us(F.col("ts")) + 600_000_000).alias("end_us"),
+    )
+    return range_join(clicks, errors)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.exact_dedup_groups(_docs(spark, sf_dir))
 
@@ -564,6 +584,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_stats": _q_event_value_stats,
         "sessionize_30m": _q_sessionize,
         "asof_click_before_error": _q_asof,
+        "range_join_incidents": _q_range_join,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
         "lang_guess": _q_lang_guess,
@@ -686,6 +707,14 @@ def oracle_sql() -> dict[str, str]:
         "asof_click_before_error": _asof.asof_join_sql(
             "SELECT * FROM events WHERE event_type = 'error'",
             "SELECT * FROM events WHERE event_type = 'click'",
+        ),
+        # bucketed rewrite (Spark) vs plain theta join (DuckDB)
+        "range_join_incidents": _asof.range_join_sql(
+            "SELECT user_id, event_id AS point_id, epoch_us(ts) AS ts_us "
+            "FROM events WHERE event_type = 'click'",
+            "SELECT user_id, event_id AS interval_id, epoch_us(ts) AS start_us, "
+            "epoch_us(ts) + 600000000 AS end_us "
+            "FROM events WHERE event_type = 'error'",
         ),
         # percentiles mirror plans/metrics._interp_pct verbatim —
         # v_lo + (v_hi - v_lo) * frac over the sorted array (NOT

@@ -170,6 +170,7 @@ def run_headline(spark) -> dict[str, float]:
         "knn3_cell_join",
         "sessionize_30m",
         "asof_click_before_error",
+        "range_join_incidents",
         "dedup_exact",
         "doc_stats",
         "quality_rules",

@@ -110,3 +110,74 @@ def asof_join_sql(
         "r.rid AS right_id, r.rts_us "
         "FROM l ASOF LEFT JOIN r ON l.k = r.k AND r.rts_us <= l.ts_us"
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    bucket_us: int = 600_000_000,
+    point_id_col: str = "event_id",
+    interval_id_col: str = "interval_id",
+) -> DataFrame:
+    """Interval containment join (the brief's 'range join'): every
+    (point, interval) pair with the same key and start_us <= ts_us <=
+    end_us. Inputs: points (key, id, ts_us), intervals (key, id,
+    start_us, end_us).
+
+    Scale shape: intervals explode to the fixed-width time buckets they
+    cover (sequence/explode in Catalyst — an interval of width W covers
+    ceil(W/bucket)+1 buckets), points map to their ONE bucket, and the
+    join is a plain equi-join on (key, bucket) + an exact containment
+    filter. Because each point has exactly one bucket, a pair can match
+    through exactly one exploded row — no duplicates, no dropDuplicates
+    shuffle. The alternative (theta join on the inequality) is a
+    per-key cross join; this is the standard bucketed rewrite that
+    keeps it linear in points + exploded intervals."""
+    b = intervals.select(
+        F.col(key_col).alias("k"),
+        F.col(interval_id_col).alias("interval_id"),
+        "start_us",
+        "end_us",
+        # integer `div`, not float division: a double quotient near a
+        # bucket boundary could round across it for other widths
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {int(bucket_us)}"),
+                F.expr(f"end_us div {int(bucket_us)}"),
+            )
+        ).alias("bucket"),
+    )
+    p = points.select(
+        F.col(key_col).alias("k"),
+        F.col(point_id_col).alias("point_id"),
+        "ts_us",
+        F.expr(f"ts_us div {int(bucket_us)}").alias("bucket"),
+    )
+    return (
+        p.join(b, ["k", "bucket"])
+        .filter(
+            (F.col("ts_us") >= F.col("start_us"))
+            & (F.col("ts_us") <= F.col("end_us"))
+        )
+        .select(
+            F.col("k").alias(key_col), "point_id", "ts_us", "interval_id", "start_us"
+        )
+    )
+
+
+def range_join_sql(
+    points_sql: str,
+    intervals_sql: str,
+    key_col: str = "user_id",
+) -> str:
+    """DuckDB oracle for range_join: the plain inequality theta join —
+    fine at oracle scale, the thing the bucketed rewrite avoids at
+    corpus scale. Inputs project (key, point_id, ts_us) and
+    (key, interval_id, start_us, end_us)."""
+    return (
+        f"WITH p AS ({points_sql}), i AS ({intervals_sql}) "
+        f"SELECT p.{key_col}, p.point_id, p.ts_us, i.interval_id, i.start_us "
+        f"FROM p JOIN i ON p.{key_col} = i.{key_col} "
+        "AND p.ts_us BETWEEN i.start_us AND i.end_us"
+    )

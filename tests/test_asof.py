@@ -49,3 +49,33 @@ def test_asof_join_single_shuffle(spark):
     df = spark.createDataFrame([(0, _t(0), 1)], SCHEMA)
     plan = asof_join(df, df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # right-side pre-collapse + key window
+
+
+def test_range_join_bucket_boundaries(spark):
+    """Bucketed range join vs a brute containment check, with intervals
+    spanning bucket boundaries and multiple overlapping windows."""
+    from insideout_spark.plans.asof import range_join
+
+    b = 600_000_000  # 10-min buckets
+    pts = [(i, 1, i * 97_000_000) for i in range(80)]  # every 97 s
+    ivs = [
+        (1000, 1, 100_000_000, 100_000_000 + b),       # spans 2 buckets
+        (1001, 1, 3 * b - 1, 3 * b + 1),               # straddles boundary
+        (1002, 1, 5 * b, 5 * b),                       # zero-width
+        (1003, 2, 0, 10 * b),                          # other key: no points
+    ]
+    p = spark.createDataFrame(pts, "event_id long, user_id long, ts_us long")
+    iv = spark.createDataFrame(
+        ivs, "interval_id long, user_id long, start_us long, end_us long"
+    )
+    got = {
+        (r["point_id"], r["interval_id"])
+        for r in range_join(p, iv, bucket_us=b).collect()
+    }
+    want = {
+        (pid, vid)
+        for (pid, k, ts) in pts
+        for (vid, vk, s, e) in ivs
+        if k == vk and s <= ts <= e
+    }
+    assert got == want and len(want) > 0
