@@ -328,6 +328,27 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join(clicks, errors)
 
 
+_HTML_PRE = (
+    '<html><head><style>p{color:red}</style>'
+    '<script type="text/javascript">var t = 1<2 && "&amp;";</script>'
+    "</head><body><h1>Doc</h1><p>"
+)
+_HTML_POST = (
+    "</p><p>&amp;lt; stays escaped; &lt;tail&gt; &quot;q&quot; "
+    "&#39;s&#39; a&nbsp;b</p></body></html>"
+)
+
+
+def _q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction: both engines build the SAME synthetic
+    HTML around each doc (script with a bare '<', double-escaped
+    entities, style block) and run the identical strip chain; the gate
+    compares the cleaned STRING itself."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    return webtext.strip_html(d.select("doc_id", html.alias("html")))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.exact_dedup_groups(_docs(spark, sf_dir))
 
@@ -585,6 +606,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_30m": _q_sessionize,
         "asof_click_before_error": _q_asof,
         "range_join_incidents": _q_range_join,
+        "strip_html": _q_strip_html,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
         "lang_guess": _q_lang_guess,
@@ -709,6 +731,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM events WHERE event_type = 'click'",
         ),
         # bucketed rewrite (Spark) vs plain theta join (DuckDB)
+        "strip_html": webtext_sql.strip_html_sql(
+            "html",
+            f"(SELECT doc_id, '{_HTML_PRE}' || text || '{_HTML_POST}' AS html "
+            "FROM documents) t",
+        ),
         "range_join_incidents": _asof.range_join_sql(
             "SELECT user_id, event_id AS point_id, epoch_us(ts) AS ts_us "
             "FROM events WHERE event_type = 'click'",

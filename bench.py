@@ -176,6 +176,7 @@ def run_headline(spark) -> dict[str, float]:
         "quality_rules",
         "repetition_stats",
         "vocab_top100",
+        "strip_html",
         "simhash64",
         "doc_fingerprint",
         "ngram_jaccard_pairs",

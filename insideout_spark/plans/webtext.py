@@ -1006,3 +1006,35 @@ def embedding_near_dup_pairs(
     return scored.filter(F.col("cos_sim") >= threshold).select(
         "vec_a", "vec_b", "cos_sim"
     )
+
+
+def strip_html(docs: DataFrame, html_col: str = "html", out_col: str = "clean_text") -> DataFrame:
+    """HTML -> text extraction (the Common-Crawl pipeline's first step):
+    drop <script>/<style> blocks wholesale, strip remaining tags,
+    decode the common entities, collapse whitespace. Pure Catalyst
+    regexp/replace chain — JVM-side, codegen, zero Python; the DuckDB
+    oracle mirrors the identical chain (RE2-safe: (?is) + lazy
+    quantifiers, NO backreferences — RE2 has none, so script and style
+    blocks are two separate patterns).
+
+    Emits (doc_id, clean_text, n_stripped_chars) so the gate compares
+    the STRING itself, not a summary."""
+    c = F.col(html_col)
+    for blk in ("script", "style"):
+        c = F.regexp_replace(c, f"(?is)<{blk}[^>]*>.*?</{blk}>", " ")
+    c = F.regexp_replace(c, "<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # ampersand LAST so &amp;lt; decodes to &lt;
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.trim(F.regexp_replace(c, "[ \\t\\r\\n]+", " "))
+    return docs.select(
+        "doc_id",
+        c.alias(out_col),
+        (F.length(html_col) - F.length(c)).cast("long").alias("n_stripped_chars"),
+    )

@@ -417,3 +417,28 @@ def multimodal_features_sql(table: str = "documents") -> str:
         "x -> (x - feat_mean) * (x - feat_mean)))) AS feat_std, "
         "CAST(w AS DOUBLE) / CAST(h AS DOUBLE) AS aspect FROM s"
     )
+
+
+def strip_html_sql(html_expr: str, table: str = "documents") -> str:
+    """Oracle for webtext.strip_html: the identical strip chain in
+    DuckDB (regexp_replace with 'gis'/'g' flags instead of inline
+    (?is); same entity order, ampersand last)."""
+    c = html_expr
+    for blk in ("script", "style"):
+        c = f"regexp_replace({c}, '<{blk}[^>]*>.*?</{blk}>', ' ', 'gis')"
+    c = f"regexp_replace({c}, '<[^>]+>', ' ', 'g')"
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        c = f"replace({c}, '{ent}', '{ch}')"
+    c = f"trim(regexp_replace({c}, '[ \\t\\r\\n]+', ' ', 'g'))"
+    return (
+        f"SELECT doc_id, {c} AS clean_text, "
+        f"CAST(length({html_expr}) - length({c}) AS BIGINT) AS n_stripped_chars "
+        f"FROM {table}"
+    )

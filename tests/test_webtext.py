@@ -521,3 +521,17 @@ def test_repetition_stats_known_values(spark):
     assert tuple(got[2])[1:] == (1, 1, 1, 0, 0)
     assert tuple(got[3])[1:] == (0, 0, 0, 0, 0)
     assert tuple(got[4])[1:] == (4, 1, 4, 3, 3)
+
+
+def test_strip_html_known_output(spark):
+    html = (
+        '<html><head><style>b{}</style><script>if (1<2) { x="&amp;"; }</script>'
+        "</head><body><p>Hello &amp;lt; <b>world</b>&nbsp;&quot;x&quot;</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = webtext.strip_html(df).collect()[0]
+    # script/style gone (incl. the bare '<' inside the script), tags
+    # stripped, double-escape &amp;lt; decodes to literal &lt;,
+    # whitespace collapsed
+    assert r["clean_text"] == 'Hello &lt; world "x"'
+    assert r["n_stripped_chars"] == len(html) - len(r["clean_text"])
