@@ -349,6 +349,17 @@ def _q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.strip_html(d.select("doc_id", html.alias("html")))
 
 
+def _q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENGINE-NATIVE session_window operator over the same events —
+    an independent implementation of the gap rule, gated against the
+    same window-sum oracle (boundary-inclusive like `sessionize`;
+    verified at the exact-gap boundary in tests/test_sessionize.py)."""
+    from insideout_spark.plans.metrics import sessionize_native
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize_native(events)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.exact_dedup_groups(_docs(spark, sf_dir))
 
@@ -604,6 +615,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn3_brute": _q_knn_brute,
         "event_value_stats": _q_event_value_stats,
         "sessionize_30m": _q_sessionize,
+        "sessionize_native": _q_sessionize_native,
         "asof_click_before_error": _q_asof,
         "range_join_incidents": _q_range_join,
         "strip_html": _q_strip_html,
@@ -724,6 +736,9 @@ def oracle_sql() -> dict[str, str]:
         # epoch_us == unix_micros for parquet TIMESTAMP: all-integer
         # session rollup, no float comparison anywhere
         "sessionize_30m": _metrics.sessionize_sql(),
+        # Spark's native session_window vs the same window-sum oracle —
+        # independent implementations of the same (inclusive) gap rule
+        "sessionize_native": _metrics.sessionize_sql(with_seq=False),
         # engine-NATIVE DuckDB ASOF JOIN vs Spark's union-merge plan:
         # independent algorithms, same semantics
         "asof_click_before_error": _asof.asof_join_sql(

@@ -169,6 +169,7 @@ def run_headline(spark) -> dict[str, float]:
         "s2_assign_l10",
         "knn3_cell_join",
         "sessionize_30m",
+        "sessionize_native",
         "asof_click_before_error",
         "range_join_incidents",
         "dedup_exact",

@@ -152,15 +152,75 @@ def sessionize(
     )
 
 
-def sessionize_sql(table: str = "events", gap_minutes: int = 30) -> str:
-    """DuckDB oracle twin of `sessionize` (epoch_us == unix_micros for
-    parquet TIMESTAMP microsecond precision)."""
+def sessionize_native(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The same session rollup through Spark's ENGINE-NATIVE
+    `session_window` operator (merging session-window aggregation in
+    the streaming-capable path) — an independent implementation of
+    the gap rule to cross-check `sessionize`'s window-sum plan.
+    Boundary semantics MATCH (verified empirically, tests/
+    test_sessionize.py): an event at EXACTLY gap distance merges —
+    session_window extends through next_ts <= last + gap, the same
+    strict-> rule as `sessionize`. Output has no session_seq (native
+    windows are anonymous), so rows are keyed by (user, start_us)."""
+    e = events.select(
+        user_col,
+        F.col(ts_col).cast("timestamp_ntz").alias("__ts"),
+    )
+    g = e.groupBy(
+        user_col, F.session_window("__ts", f"{int(gap_minutes)} minutes")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("__ts").alias("__min_ts"),
+        F.max("__ts").alias("__max_ts"),
+    )
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    start = F.timestamp_diff("MICROSECOND", epoch, F.col("__min_ts"))
+    end = F.timestamp_diff("MICROSECOND", epoch, F.col("__max_ts"))
+    return g.select(
+        user_col,
+        "n_events",
+        start.alias("start_us"),
+        end.alias("end_us"),
+        (end - start).alias("duration_us"),
+    )
+
+
+def sessionize_sql(
+    table: str = "events", gap_minutes: int = 30, strict: bool = True,
+    with_seq: bool = True,
+) -> str:
+    """DuckDB oracle twin of `sessionize` (strict=True: a gap of
+    exactly `gap_minutes` stays in-session) or of `sessionize_native`
+    (strict=False: >= opens a new session; no session_seq column).
+    epoch_us == unix_micros for parquet TIMESTAMP microsecond
+    precision."""
     gap_us = int(gap_minutes) * 60_000_000
+    cmp = ">" if strict else ">="
+    if not with_seq:
+        return (
+            f"WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM {table}), "
+            "m AS (SELECT user_id, event_id, ts_us, "
+            "CASE WHEN lag(ts_us) OVER w IS NULL "
+            f"OR ts_us - lag(ts_us) OVER w {cmp} {gap_us} THEN 1 ELSE 0 END AS is_new "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), "
+            "s AS (SELECT user_id, ts_us, sum(is_new) OVER "
+            "(PARTITION BY user_id ORDER BY ts_us, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_seq FROM m) "
+            "SELECT user_id, count(*) AS n_events, "
+            "min(ts_us) AS start_us, max(ts_us) AS end_us, "
+            "max(ts_us) - min(ts_us) AS duration_us "
+            "FROM s GROUP BY user_id, session_seq"
+        )
     return (
         f"WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM {table}), "
         "m AS (SELECT user_id, event_id, ts_us, "
         "CASE WHEN lag(ts_us) OVER w IS NULL "
-        f"OR ts_us - lag(ts_us) OVER w > {gap_us} THEN 1 ELSE 0 END AS is_new "
+        f"OR ts_us - lag(ts_us) OVER w {cmp} {gap_us} THEN 1 ELSE 0 END AS is_new "
         "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), "
         "s AS (SELECT user_id, ts_us, sum(is_new) OVER "
         "(PARTITION BY user_id ORDER BY ts_us, event_id "

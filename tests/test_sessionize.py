@@ -39,3 +39,33 @@ def test_sessionize_single_shuffle(spark):
     )
     plan = sessionize(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_sessionize_native_matches_boundary(spark):
+    """session_window merges at EXACTLY gap distance (inclusive) — the
+    same strict-> rule as the window-sum path — and splits one
+    microsecond past it. This pins the empirically-verified boundary
+    the sessionize_native oracle relies on."""
+    from insideout_spark.plans.metrics import sessionize_native
+
+    at_gap = spark.createDataFrame(
+        [(0, _t(0), 1), (1, _t(30), 1)],
+        "event_id long, ts timestamp_ntz, user_id long",
+    )
+    past_gap = spark.createDataFrame(
+        [(0, _t(0), 1), (1, _t(30) + dt.timedelta(microseconds=1), 1)],
+        "event_id long, ts timestamp_ntz, user_id long",
+    )
+    assert [r["n_events"] for r in sessionize_native(at_gap).collect()] == [2]
+    assert len(sessionize_native(past_gap).collect()) == 2
+    # and the two implementations agree on both inputs
+    for df in (at_gap, past_gap):
+        a = sorted(
+            (r["user_id"], r["n_events"], r["start_us"], r["end_us"], r["duration_us"])
+            for r in sessionize_native(df).collect()
+        )
+        b = sorted(
+            (r["user_id"], r["n_events"], r["start_us"], r["end_us"], r["duration_us"])
+            for r in sessionize(df).collect()
+        )
+        assert a == b
