@@ -339,6 +339,20 @@ _HTML_POST = (
 )
 
 
+_BM25_TERMS = ("table", "spark", "merge")
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed 3-term query: idf 'trained' driver-side
+    from the corpus and pinned 2^20-quantized in BOTH engines (the IVF
+    centroid pattern); serving is exact integer-ratio arithmetic, so
+    the double scores hash bit-identically."""
+    stats = webtext.bm25_stats_from_parquet(
+        os.path.join(sf_dir, "documents.parquet"), _BM25_TERMS
+    )
+    return webtext.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, stats)
+
+
 def _q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction: both engines build the SAME synthetic
     HTML around each doc (script with a bare '<', double-escaped
@@ -619,6 +633,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_before_error": _q_asof,
         "range_join_incidents": _q_range_join,
         "strip_html": _q_strip_html,
+        "bm25_top10": _q_bm25,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
         "lang_guess": _q_lang_guess,
@@ -746,6 +761,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM events WHERE event_type = 'click'",
         ),
         # bucketed rewrite (Spark) vs plain theta join (DuckDB)
+        # trained-idf pattern (cf. ann_ivf_top10): stats from the
+        # ORACLE_SF_DIR parquet, identical pinned literals both sides
+        "bm25_top10": webtext_sql.bm25_sql(
+            _BM25_TERMS,
+            webtext.bm25_stats_from_parquet(
+                os.path.join(_ORACLE_SF_DIR, "documents.parquet"), _BM25_TERMS
+            ),
+        ),
         "strip_html": webtext_sql.strip_html_sql(
             "html",
             f"(SELECT doc_id, '{_HTML_PRE}' || text || '{_HTML_POST}' AS html "

@@ -178,6 +178,7 @@ def run_headline(spark) -> dict[str, float]:
         "repetition_stats",
         "vocab_top100",
         "strip_html",
+        "bm25_top10",
         "simhash64",
         "doc_fingerprint",
         "ngram_jaccard_pairs",

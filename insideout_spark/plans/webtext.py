@@ -1038,3 +1038,101 @@ def strip_html(docs: DataFrame, html_col: str = "html", out_col: str = "clean_te
         c.alias(out_col),
         (F.length(html_col) - F.length(c)).cast("long").alias("n_stripped_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 text retrieval (trained-idf gating pattern, like IVF centroids)
+# ---------------------------------------------------------------------------
+
+_BM25_SCALE = 1 << 20
+_BM25_STATS_CACHE: dict = {}
+
+
+def bm25_stats_from_parquet(path: str, terms: tuple) -> dict:
+    """Corpus statistics for BM25 serving, computed driver-side from
+    the parquet (the IVF-centroid pattern: 'train' once, pin exact
+    params in BOTH engines): doc count, total whitespace-token count,
+    per-term document frequency, and the 2^20-quantized idf
+    floor(ln((N - df + 0.5)/(df + 0.5) + 1) * 2^20 + 0.5) — the only
+    transcendental in BM25, evaluated ONCE here so serving is pure
+    integer-ratio arithmetic."""
+    import math
+
+    key = (path, terms)
+    if key in _BM25_STATS_CACHE:
+        return _BM25_STATS_CACHE[key]
+    import duckdb
+
+    con = duckdb.connect()
+    toks = (
+        "list_filter(regexp_split_to_array(text, '[ \\t\\r\\n]+'), "
+        "t -> length(t) > 0)"
+    )
+    n_docs, n_tokens = con.execute(
+        f"SELECT count(*), sum(len({toks})) FROM read_parquet('{path}')"
+    ).fetchone()
+    dfs = {}
+    for t in terms:
+        dfs[t] = con.execute(
+            f"SELECT count(*) FROM read_parquet('{path}') "
+            f"WHERE len(list_filter({toks}, x -> x = '{t}')) > 0"
+        ).fetchone()[0]
+    idf_q = {
+        t: int(
+            math.floor(
+                math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+                * _BM25_SCALE
+                + 0.5
+            )
+        )
+        for t in terms
+    }
+    out = {"n_docs": int(n_docs), "n_tokens": int(n_tokens), "df": dfs, "idf_q": idf_q}
+    _BM25_STATS_CACHE[key] = out
+    return out
+
+
+def bm25_topk(
+    docs: DataFrame, terms: tuple, stats: dict, k: int = 10
+) -> DataFrame:
+    """BM25 top-k (k1=1.2, b=0.75) with EXACT cross-engine arithmetic:
+    multiplying the classic per-term score through by 10 * n_tokens
+    makes numerator and denominator int64 —
+
+      score_t = idf_q * tf * 22 * Ntok
+                / (10*tf*Ntok + 3*Ntok + 9*dl*Ndoc)
+
+    — and one int64/int64 double division per term is bit-identical in
+    Spark and DuckDB (same int->double conversion, correctly-rounded
+    divide); the per-term sum is generated in fixed term order. Scale
+    shape: tf/dl are per-row Catalyst array ops (zero shuffle), the
+    top-k is TakeOrderedAndProject. int64 bound: idf_q*tf*22*Ntok must
+    stay under 2^63 — holds to ~10^9-token corpora with tf <= 10^3;
+    beyond that, widen to decimal."""
+    n_docs, n_tokens = stats["n_docs"], stats["n_tokens"]
+    toks = F.filter(
+        F.split(F.col("text"), "[ \\t\\r\\n]+"), lambda t: F.length(t) > 0
+    )
+    d = docs.select("doc_id", toks.alias("__toks"))
+    dl = F.size("__toks").cast("long")
+    score = F.lit(0.0)
+    for t in terms:  # fixed order: the float sum associates identically
+        tf = F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(t))).cast("long")
+        idf = int(stats["idf_q"][t])
+        num = (F.lit(idf) * tf * F.lit(22) * F.lit(int(n_tokens))).cast("double")
+        den = (
+            F.lit(10) * tf * F.lit(int(n_tokens))
+            + F.lit(3) * F.lit(int(n_tokens))
+            + F.lit(9) * dl * F.lit(int(n_docs))
+        ).cast("double")
+        score = score + num / den
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    top = (
+        d.select("doc_id", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("long").alias("rank")
+    )

@@ -442,3 +442,36 @@ def strip_html_sql(html_expr: str, table: str = "documents") -> str:
         f"CAST(length({html_expr}) - length({c}) AS BIGINT) AS n_stripped_chars "
         f"FROM {table}"
     )
+
+
+def bm25_sql(terms: tuple, stats: dict, table: str = "documents", k: int = 10) -> str:
+    """Oracle for webtext.bm25_topk: the identical integer-ratio
+    serving arithmetic over the same pinned quantized idf literals,
+    with the per-term sum generated in the same fixed order."""
+    n_docs, n_tokens = int(stats["n_docs"]), int(stats["n_tokens"])
+    toks = (
+        "list_filter(regexp_split_to_array(text, '[ \\t\\r\\n]+'), "
+        "t -> length(t) > 0)"
+    )
+    parts = []
+    for t in terms:
+        idf = int(stats["idf_q"][t])
+        tf = f"len(list_filter(toks, x -> x = '{t}'))"
+        num = f"CAST({idf} * {tf} * 22 * {n_tokens} AS DOUBLE)"
+        den = (
+            f"CAST(10 * {tf} * {n_tokens} + 3 * {n_tokens} "
+            f"+ 9 * dl * {n_docs} AS DOUBLE)"
+        )
+        parts.append(f"({num} / {den})")
+    score = " + ".join(parts)
+    # left-to-right association matches the Spark fold: ((0+t1)+t2)+t3
+    score = "0e0 + " + score if parts else "0e0"
+    return (
+        f"WITH d AS (SELECT doc_id, {toks} AS toks FROM {table}), "
+        "dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d), "
+        f"s AS (SELECT doc_id, {score} AS score FROM dd) "
+        "SELECT doc_id, score, "
+        "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
+        "FROM s WHERE score > 0 ORDER BY score DESC, doc_id LIMIT "
+        f"{int(k)}"
+    )

@@ -535,3 +535,33 @@ def test_strip_html_known_output(spark):
     # whitespace collapsed
     assert r["clean_text"] == 'Hello &lt; world "x"'
     assert r["n_stripped_chars"] == len(html) - len(r["clean_text"])
+
+
+def test_bm25_ranking_properties(spark, tmp_path):
+    """BM25 sanity on a crafted corpus: a doc with more distinct query
+    terms outranks one with fewer; a rarer term carries more idf than
+    a ubiquitous one; length normalization demotes padded docs."""
+    rows = [
+        (1, "spark table merge join"),        # all 3 terms, short
+        (2, "spark table filler " + "x " * 60),  # 2 terms, long
+        (3, "spark only here"),               # 1 term
+        (4, "nothing relevant at all"),       # 0 terms -> excluded
+        (5, "spark " * 4 + "common words"),   # tf saturation check
+    ]
+    import pandas as pd
+
+    pq = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(pq)
+    terms = ("spark", "table", "merge")
+    stats = webtext.bm25_stats_from_parquet(pq, terms)
+    # 'merge' (df=1) must out-idf 'spark' (df=4)
+    assert stats["idf_q"]["merge"] > stats["idf_q"]["spark"]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = webtext.bm25_topk(df, terms, stats, k=10).collect()
+    ranked = [r["doc_id"] for r in out]
+    assert ranked[0] == 1          # all three terms wins
+    assert 4 not in ranked         # zero-score doc excluded
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert scores[1] > scores[3]  # superset of terms at similar length
+    # tf saturation: 4x 'spark' scores less than 4x a single occurrence
+    assert scores[5] < 4 * scores[3]
