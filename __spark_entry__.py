@@ -353,6 +353,19 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, stats)
 
 
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 corpus split: Catalyst decimal-mod
+    splitmix64 (plans/webtext.splitmix64_col) vs the DuckDB HUGEINT
+    splitmix64 — one hash, two independent big-int routes."""
+    return webtext.hash_split(_docs(spark, sf_dir))
+
+
+def _q_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing assignment at a 512-token budget over 8 hash
+    buckets: one shuffle, per-bucket running sum."""
+    return webtext.pack_assign(_docs(spark, sf_dir), budget_tokens=512, n_buckets=8)
+
+
 def _q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction: both engines build the SAME synthetic
     HTML around each doc (script with a bare '<', double-escaped
@@ -634,6 +647,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_incidents": _q_range_join,
         "strip_html": _q_strip_html,
         "bm25_top10": _q_bm25,
+        "hash_split_98_1_1": _q_hash_split,
+        "pack_assign_512": _q_pack_assign,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
         "lang_guess": _q_lang_guess,
@@ -761,6 +776,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM events WHERE event_type = 'click'",
         ),
         # bucketed rewrite (Spark) vs plain theta join (DuckDB)
+        "hash_split_98_1_1": (
+            "WITH h AS (SELECT doc_id, CAST("
+            + mm_sql.splitmix64_sql(
+                "CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + "
+                f"{1 << 64} ELSE CAST(doc_id AS HUGEINT) END"
+            )
+            + " % 10000 AS BIGINT) AS bp FROM documents) "
+            "SELECT doc_id, bp, CASE WHEN bp < 9800 THEN 'train' "
+            "WHEN bp < 9900 THEN 'val' ELSE 'test' END AS split FROM h"
+        ),
+        "pack_assign_512": (
+            "WITH d AS (SELECT doc_id, doc_id % 8 AS bucket, "
+            "len(list_filter(regexp_split_to_array(text, '[ \\t\\r\\n]+'), "
+            "t -> length(t) > 0)) AS dl FROM documents), "
+            "s AS (SELECT doc_id, bucket, dl, coalesce(sum(dl) OVER "
+            "(PARTITION BY bucket ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b "
+            "FROM d) "
+            "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(dl AS BIGINT) AS dl, CAST(b // 512 AS BIGINT) AS pack_seq, "
+            "CAST(b % 512 AS BIGINT) AS pack_offset FROM s"
+        ),
         # trained-idf pattern (cf. ann_ivf_top10): stats from the
         # ORACLE_SF_DIR parquet, identical pinned literals both sides
         "bm25_top10": webtext_sql.bm25_sql(

@@ -179,6 +179,8 @@ def run_headline(spark) -> dict[str, float]:
         "vocab_top100",
         "strip_html",
         "bm25_top10",
+        "hash_split_98_1_1",
+        "pack_assign_512",
         "simhash64",
         "doc_fingerprint",
         "ngram_jaccard_pairs",

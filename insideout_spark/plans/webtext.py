@@ -1136,3 +1136,116 @@ def bm25_topk(
     return top.select(
         "doc_id", "score", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus splitting + sequence packing (LLM training-prep)
+# ---------------------------------------------------------------------------
+
+
+def splitmix64_col(col):
+    """splitmix64 of an int64 column in PURE Catalyst under ANSI mode:
+    the wrapping multiplies and add run in decimal(38,0) with explicit
+    mod 2^64 (ANSI long arithmetic THROWS on overflow) and a 32-bit
+    split multiply (decimal(38) cannot hold u64*u64); xor/shift stay on
+    longs. Every helper references its input ONCE — a when()-based
+    formulation duplicated subtrees ~27x per stage and the resulting
+    ~300k-node expression stalled the Catalyst optimizer for minutes.
+    Bit-exact twin of sources/pages._splitmix64 and of
+    multimodal_sql.splitmix64_sql — one hash, three engines."""
+    from decimal import Decimal
+
+    # literals above 2^63 must enter as Decimal (py4j long overflows)
+    two64 = F.lit(Decimal(1 << 64)).cast("decimal(38,0)")
+    two63 = F.lit(Decimal(1 << 63)).cast("decimal(38,0)")
+    two32 = F.lit(Decimal(1 << 32)).cast("decimal(38,0)")
+
+    def to_u64(c):  # signed long -> decimal in [0, 2^64); one ref
+        return F.pmod(c.cast("decimal(38,0)"), two64)
+
+    def to_s64(d):  # decimal in [0, 2^64) -> signed long; one ref
+        return (F.pmod(d + two63, two64) - two63).cast("long")
+
+    def mulmod(c, const):
+        a = to_u64(c)
+        lo = F.pmod(a, two32)
+        m = F.lit(Decimal(const)).cast("decimal(38,0)")
+        m_lo = F.lit(Decimal(const % (1 << 32))).cast("decimal(38,0)")
+        hi = ((a - lo) / two32).cast("decimal(38,0)")
+        prod = lo * m + F.pmod(hi * m_lo, two32) * two32
+        return to_s64(F.pmod(prod, two64))
+
+    add = F.lit(Decimal(0x9E3779B97F4A7C15)).cast("decimal(38,0)")
+    x = to_s64(F.pmod(to_u64(col) + add, two64))
+    z = mulmod(x.bitwiseXOR(F.shiftrightunsigned(x, 30)), 0xBF58476D1CE4E5B9)
+    z = mulmod(z.bitwiseXOR(F.shiftrightunsigned(z, 27)), 0x94D049BB133111EB)
+    return z.bitwiseXOR(F.shiftrightunsigned(z, 31))
+
+
+def hash_split(
+    docs: DataFrame,
+    train_bp: int = 9800,
+    val_bp: int = 9900,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by counter-based hash —
+    the standard leakage-safe corpus split (no RNG state; stable under
+    re-runs, reshards, and incremental ingest): bp = splitmix64(id)
+    mod 10000 basis points; < train_bp -> train, < val_bp -> val, else
+    test. Zero shuffle, pure Catalyst (splitmix64_col). Dedup BEFORE
+    splitting so near-identical docs cannot straddle train/test."""
+    from decimal import Decimal
+
+    # mod 10000 must run on the UNSIGNED 64-bit value (2^64 % 10000 =
+    # 9936, so signed pmod diverges whenever the hash has the top bit)
+    z = splitmix64_col(F.col(id_col).cast("long")).cast("decimal(38,0)")
+    two64 = F.lit(Decimal(1 << 64)).cast("decimal(38,0)")
+    u = F.when(z < 0, z + two64).otherwise(z)
+    bp = F.pmod(u, F.lit(10000).cast("decimal(38,0)")).cast("long")
+    return docs.select(
+        id_col,
+        bp.alias("bp"),
+        F.when(bp < train_bp, "train")
+        .when(bp < val_bp, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def pack_assign(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-packing assignment (GPT-style corpus chunking prep):
+    concatenate documents in deterministic order and cut at a token
+    budget; emit which pack each document starts in and at what token
+    offset. Scalable form: documents shard into `n_buckets` hash
+    buckets (pmod of doc_id), packing runs independently per bucket —
+    ONE shuffle, a running-sum window per bucket, no global sort.
+    Output: (doc_id, bucket, dl, pack_seq, pack_offset) with
+    pack_seq = tokens-before div budget (exact integer div) and
+    pack_offset = tokens-before mod budget."""
+    toks = F.filter(
+        F.split(F.col(text_col), "[ \\t\\r\\n]+"), lambda t: F.length(t) > 0
+    )
+    d = docs.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_buckets)).cast("long").alias("bucket"),
+        F.size(toks).cast("long").alias("dl"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("dl").over(w), F.lit(0).cast("long"))
+    return d.withColumn("__before", before).select(
+        id_col,
+        "bucket",
+        "dl",
+        F.expr(f"__before div {int(budget_tokens)}").alias("pack_seq"),
+        F.pmod(F.col("__before"), F.lit(budget_tokens)).alias("pack_offset"),
+    )

@@ -565,3 +565,35 @@ def test_bm25_ranking_properties(spark, tmp_path):
     assert scores[1] > scores[3]  # superset of terms at similar length
     # tf saturation: 4x 'spark' scores less than 4x a single occurrence
     assert scores[5] < 4 * scores[3]
+
+
+def test_hash_split_proportions_and_determinism(spark):
+    """98/1/1 split: deterministic across calls, proportions near the
+    basis-point targets at 20k ids, and stable under resharding."""
+    df = spark.createDataFrame([(i,) for i in range(20000)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in webtext.hash_split(df).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in webtext.hash_split(df.repartition(13)).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 20000 - 0.98) < 0.005
+    assert abs(c["val"] / 20000 - 0.01) < 0.005
+    assert abs(c["test"] / 20000 - 0.01) < 0.005
+
+
+def test_pack_assign_fill_invariants(spark):
+    """Packing: offsets stay under the budget, packs fill contiguously
+    within each bucket in doc_id order."""
+    rows = [(i, "w " * ((i * 7) % 40 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = webtext.pack_assign(df, budget_tokens=64, n_buckets=4).collect()
+    assert all(0 <= r["pack_offset"] < 64 for r in out)
+    by_bucket = {}
+    for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+        prev = by_bucket.get(r["bucket"], 0)
+        assert r["pack_seq"] * 64 + r["pack_offset"] == prev  # cumsum exact
+        by_bucket[r["bucket"]] = prev + r["dl"]
