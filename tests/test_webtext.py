@@ -350,7 +350,10 @@ def test_ngram_bigram_block_skew_wall_time(spark):
     elapsed = time.time() - t0
     assert (50_000, 50_002) in pairs
     assert len(pairs) <= 5, sorted(pairs)[:10]
-    assert elapsed < 90, elapsed
+    # guards bounded-not-quadratic: the unblocked worst case is tens of
+    # minutes. The bound is deliberately loose — this VM's floor drifts
+    # 2-3x between sessions (BASELINE.md), and 90 s flaked at 92 s.
+    assert elapsed < 240, elapsed
 
 
 def test_simhash_adversarial_long_token_bounded_memory(spark):
