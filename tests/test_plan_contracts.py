@@ -1,0 +1,62 @@
+"""Physical-plan contracts for the late-round operators: the plan
+shape IS the 100 TB story, so pin it — a regression that silently adds
+an Exchange or demotes TakeOrderedAndProject to a global Sort should
+fail CI, not a cluster bill."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from insideout_spark.plans import webtext
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, "alpha beta gamma " * (i % 3 + 1)) for i in range(50)],
+        "doc_id long, text string",
+    )
+
+
+def test_vocab_topk_uses_take_ordered(spark):
+    p = _plan(webtext.vocab_topk(_docs(spark), k=5))
+    assert "TakeOrderedAndProject" in p
+    # top-k must NOT materialize a global sort of the vocabulary
+    assert "Sort [n_occurrences" not in p
+
+
+def test_bm25_uses_take_ordered_and_no_shuffle_before_topk(spark):
+    stats = {"n_docs": 50, "n_tokens": 300, "df": {}, "idf_q": {"alpha": 123}}
+    p = _plan(webtext.bm25_topk(_docs(spark), ("alpha",), stats, k=5))
+    assert "TakeOrderedAndProject" in p
+    # scoring is per-row Catalyst: the only exchange is the top-k's
+    assert p.count("Exchange") <= 1
+
+
+def test_repetition_stats_zero_shuffle(spark):
+    p = _plan(webtext.repetition_stats(_docs(spark)))
+    assert "Exchange" not in p
+
+
+def test_hash_split_zero_shuffle(spark):
+    p = _plan(webtext.hash_split(_docs(spark)))
+    assert "Exchange" not in p
+
+
+def test_pack_assign_single_shuffle(spark):
+    p = _plan(webtext.pack_assign(_docs(spark), budget_tokens=32, n_buckets=4))
+    assert p.count("Exchange") == 1
+
+
+def test_simhash_pairs_band_join_is_partial_agged(spark):
+    # the banded self-join shuffles on (band, bv) only; the pair dedup
+    # carries just (doc_a, doc_b) — no signature/simhash payload rides
+    # the dropDuplicates exchange
+    df = webtext.simhash_near_dup_pairs(_docs(spark))
+    p = _plan(df)
+    for line in p.splitlines():
+        if "Exchange hashpartitioning(doc_a" in line:
+            assert "simhash" not in line and "sa#" not in line
