@@ -353,6 +353,17 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, stats)
 
 
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: top-200 vocab logprobs trained
+    driver-side and pinned quantized (the trained-model pattern);
+    serving is explode -> broadcast vocab join -> one combinable
+    aggregation, integer-exact."""
+    model = webtext.lm_train_from_parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    return webtext.lm_score(_docs(spark, sf_dir), model)
+
+
 def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 98/1/1 corpus split: Catalyst decimal-mod
     splitmix64 (plans/webtext.splitmix64_col) vs the DuckDB HUGEINT
@@ -648,6 +659,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_html": _q_strip_html,
         "bm25_top10": _q_bm25,
         "hash_split_98_1_1": _q_hash_split,
+        "lm_score_unigram": _q_lm_score,
         "pack_assign_512": _q_pack_assign,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
@@ -776,6 +788,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM events WHERE event_type = 'click'",
         ),
         # bucketed rewrite (Spark) vs plain theta join (DuckDB)
+        # trained-unigram pattern: the same pinned quantized vocab as a
+        # VALUES table in DuckDB's own join engine
+        "lm_score_unigram": webtext_sql.lm_score_sql(
+            webtext.lm_train_from_parquet(
+                os.path.join(_ORACLE_SF_DIR, "documents.parquet")
+            )
+        ),
         "hash_split_98_1_1": (
             "WITH h AS (SELECT doc_id, CAST("
             + mm_sql.splitmix64_sql(

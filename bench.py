@@ -181,6 +181,7 @@ def run_headline(spark) -> dict[str, float]:
         "bm25_top10",
         "hash_split_98_1_1",
         "pack_assign_512",
+        "lm_score_unigram",
         "simhash64",
         "doc_fingerprint",
         "ngram_jaccard_pairs",

@@ -1249,3 +1249,87 @@ def pack_assign(
         F.expr(f"__before div {int(budget_tokens)}").alias("pack_seq"),
         F.pmod(F.col("__before"), F.lit(budget_tokens)).alias("pack_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality scoring (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+_LM_SCALE = 1 << 20
+_LM_STATS_CACHE: dict = {}
+
+
+def lm_train_from_parquet(path: str, vocab_size: int = 200) -> dict:
+    """'Train' a unigram LM driver-side (the quantize-then-serve gating
+    pattern): top-`vocab_size` tokens by corpus frequency with
+    add-one-smoothed quantized log-probs
+
+        lp_q(t) = floor(ln((c_t + 1) / (N + V + 1)) * 2^20 - 0.5)
+
+    plus one OOV bucket lp_q(unk) = floor(ln(1 / (N + V + 1)) * ...).
+    Log-probs are negative; floor moves toward -inf, so quantization is
+    conservative. Serving is then pure integer lookup + sum."""
+    key = (path, vocab_size)
+    if key in _LM_STATS_CACHE:
+        return _LM_STATS_CACHE[key]
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    toks = (
+        "list_filter(regexp_split_to_array(text, '[ \\t\\r\\n]+'), "
+        "t -> length(t) > 0)"
+    )
+    rows = con.execute(
+        f"WITH t AS (SELECT unnest({toks}) AS tok FROM read_parquet('{path}')) "
+        "SELECT tok, count(*) AS c FROM t GROUP BY tok "
+        f"ORDER BY c DESC, tok LIMIT {int(vocab_size)}"
+    ).fetchall()
+    n_total = con.execute(
+        f"SELECT sum(len({toks})) FROM read_parquet('{path}')"
+    ).fetchone()[0]
+    denom = int(n_total) + int(vocab_size) + 1
+
+    def q(c):
+        return int(math.floor(math.log((c + 1) / denom) * _LM_SCALE))
+
+    out = {
+        "vocab": {tok: q(c) for tok, c in rows},
+        "oov_lp_q": q(0),
+        "denom": denom,
+    }
+    _LM_STATS_CACHE[key] = out
+    return out
+
+
+def lm_score(docs: DataFrame, model: dict, text_col: str = "text") -> DataFrame:
+    """Per-document unigram log-likelihood (doc_id, n_tokens,
+    sum_lp_q): the standard LM-quality gate (CCNet / fastText-filter
+    class) — low mean log-prob = out-of-domain or garbage text.
+    Integer outputs only; the caller thresholds sum_lp_q / n_tokens.
+
+    Scale shape: explode tokens -> BROADCAST join the vocab (any real
+    vocab fits a broadcast; OOV via coalesce) -> one map-side-
+    combinable groupBy(doc_id). The DuckDB oracle does the same with a
+    VALUES table — identical pinned literals, independent join
+    engine."""
+    spark = docs.sparkSession
+    vocab_df = spark.createDataFrame(
+        [(t, lp) for t, lp in model["vocab"].items()], "token string, lp_q long"
+    )
+    toks = F.filter(
+        F.split(F.col(text_col), "[ \\t\\r\\n]+"), lambda t: F.length(t) > 0
+    )
+    exploded = docs.select(
+        "doc_id", F.explode_outer(toks).alias("token")
+    )
+    oov = int(model["oov_lp_q"])
+    joined = exploded.join(F.broadcast(vocab_df), "token", "left")
+    # empty docs survive as one NULL-token row (explode_outer) — it
+    # must contribute NEITHER a count nor an OOV logprob
+    lp = F.when(F.col("token").isNotNull(), F.coalesce("lp_q", F.lit(oov)))
+    return joined.groupBy("doc_id").agg(
+        F.count("token").alias("n_tokens"),
+        F.coalesce(F.sum(lp), F.lit(0).cast("long")).alias("sum_lp_q"),
+    )

@@ -475,3 +475,29 @@ def bm25_sql(terms: tuple, stats: dict, table: str = "documents", k: int = 10) -
         "FROM s WHERE score > 0 ORDER BY score DESC, doc_id LIMIT "
         f"{int(k)}"
     )
+
+
+def lm_score_sql(model: dict, table: str = "documents") -> str:
+    """Oracle for webtext.lm_score: the same pinned quantized vocab as
+    a VALUES table, LEFT JOIN + group-by in DuckDB's join engine —
+    independent of Spark's broadcast-hash path, identical integers."""
+    values = ", ".join(
+        f"('{tok.replace(chr(39), chr(39) * 2)}', {int(lp)})"
+        for tok, lp in model["vocab"].items()
+    )
+    oov = int(model["oov_lp_q"])
+    toks = (
+        "list_filter(regexp_split_to_array(text, '[ \\t\\r\\n]+'), "
+        "t -> length(t) > 0)"
+    )
+    return (
+        f"WITH base AS (SELECT doc_id, {toks} AS toks FROM {table}), "
+        "t AS (SELECT doc_id, unnest(toks) AS token FROM base), "
+        f"j AS (SELECT t.doc_id, coalesce(v.lp_q, {oov}) AS lp "
+        f"FROM t LEFT JOIN (VALUES {values}) AS v(token, lp_q) "
+        "ON v.token = t.token), "
+        "a AS (SELECT doc_id, count(*) AS n, sum(lp) AS s FROM j GROUP BY doc_id) "
+        "SELECT base.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens, "
+        "CAST(coalesce(a.s, 0) AS BIGINT) AS sum_lp_q "
+        "FROM base LEFT JOIN a USING (doc_id)"
+    )

@@ -600,3 +600,27 @@ def test_pack_assign_fill_invariants(spark):
         prev = by_bucket.get(r["bucket"], 0)
         assert r["pack_seq"] * 64 + r["pack_offset"] == prev  # cumsum exact
         by_bucket[r["bucket"]] = prev + r["dl"]
+
+
+def test_lm_score_semantics(spark, tmp_path):
+    """Unigram LM quality: in-vocab text out-scores OOV gibberish per
+    token; empty docs emit (0, 0); the OOV bucket is the floor."""
+    import pandas as pd
+
+    corpus = [(i, "the cat sat on the mat") for i in range(50)]
+    pq = str(tmp_path / "docs.parquet")
+    pd.DataFrame(corpus, columns=["doc_id", "text"]).to_parquet(pq)
+    model = webtext.lm_train_from_parquet(pq, vocab_size=10)
+    assert model["vocab"]["the"] > model["oov_lp_q"]
+    test_rows = [
+        (1, "the cat sat"),       # all in-vocab
+        (2, "zzq qqx wvv"),       # all OOV
+        (3, "   "),               # empty
+    ]
+    df = spark.createDataFrame(test_rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["sum_lp_q"]) for r in
+           webtext.lm_score(df, model).collect()}
+    assert got[3] == (0, 0)
+    assert got[1][0] == got[2][0] == 3
+    assert got[1][1] > got[2][1]          # in-vocab >> OOV
+    assert got[2][1] == 3 * model["oov_lp_q"]
