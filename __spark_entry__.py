@@ -364,6 +364,15 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.lm_score(_docs(spark, sf_dir), model)
 
 
+def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition: quality + repetition filter ->
+    hash split -> sequence packing, ONE plan; the oracle chains the
+    same mirrored subqueries over a kept CTE."""
+    from insideout_spark.plans.pipeline import curate_text_pipeline
+
+    return curate_text_pipeline(_docs(spark, sf_dir))
+
+
 def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 98/1/1 corpus split: Catalyst decimal-mod
     splitmix64 (plans/webtext.splitmix64_col) vs the DuckDB HUGEINT
@@ -660,6 +669,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10": _q_bm25,
         "hash_split_98_1_1": _q_hash_split,
         "lm_score_unigram": _q_lm_score,
+        "curation_pipeline": _q_curation,
         "pack_assign_512": _q_pack_assign,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
@@ -703,6 +713,59 @@ def _knn3_oracle() -> str:
             "CAST(row_number() OVER (PARTITION BY p.point_id ORDER BY "
             "(p.lat - t.lat) * (p.lat - t.lat) + (p.lng - t.lng) * (p.lng - t.lng), t.target_id) AS INT) AS rank "
             "FROM pts p, tgt t QUALIFY rank <= 3"
+    )
+
+
+
+def _hash_split_oracle(table: str = "documents") -> str:
+    from insideout_spark.plans import multimodal_sql as _mmsql
+
+    return (
+        f"WITH h AS (SELECT doc_id, CAST("
+        + _mmsql.splitmix64_sql(
+            "CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + "
+            f"{1 << 64} ELSE CAST(doc_id AS HUGEINT) END"
+        )
+        + f" % 10000 AS BIGINT) AS bp FROM {table}) "
+        "SELECT doc_id, bp, CASE WHEN bp < 9800 THEN 'train' "
+        "WHEN bp < 9900 THEN 'val' ELSE 'test' END AS split FROM h"
+    )
+
+
+def _pack_oracle(table: str = "documents", budget: int = 512, buckets: int = 8) -> str:
+    return (
+        f"WITH d AS (SELECT doc_id, doc_id % {buckets} AS bucket, "
+        "len(list_filter(regexp_split_to_array(text, '[ \\t\\r\\n]+'), "
+        f"t -> length(t) > 0)) AS dl FROM {table}), "
+        "s AS (SELECT doc_id, bucket, dl, coalesce(sum(dl) OVER "
+        "(PARTITION BY bucket ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b "
+        "FROM d) "
+        "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, "
+        f"CAST(dl AS BIGINT) AS dl, CAST(b // {budget} AS BIGINT) AS pack_seq, "
+        f"CAST(b % {budget} AS BIGINT) AS pack_offset FROM s"
+    )
+
+
+def _repetition_oracle(table: str = "documents") -> str:
+    return (
+        "WITH base AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(text, '[ \\t\\r\\n]+'), t -> length(t) > 0) AS toks "
+        f"FROM {table}), "
+        "t AS (SELECT doc_id, unnest(toks) AS tok FROM base), "
+        "tc AS (SELECT doc_id, count(*) AS c FROM t GROUP BY doc_id, tok), "
+        "ta AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, "
+        "max(c) AS top_tok FROM tc GROUP BY doc_id), "
+        "b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+        "i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM base), "
+        "bc AS (SELECT doc_id, count(*) AS c FROM b GROUP BY doc_id, bg), "
+        "ba AS (SELECT doc_id, max(c) AS top_bg FROM bc GROUP BY doc_id) "
+        "SELECT base.doc_id, CAST(coalesce(ta.n_tokens, 0) AS BIGINT) AS n_tokens, "
+        "CAST(coalesce(ta.n_distinct, 0) AS BIGINT) AS n_distinct_tokens, "
+        "CAST(coalesce(ta.top_tok, 0) AS BIGINT) AS top_token_count, "
+        "CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams, "
+        "CAST(coalesce(ba.top_bg, 0) AS BIGINT) AS top_bigram_count "
+        "FROM base LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)"
     )
 
 
@@ -795,28 +858,20 @@ def oracle_sql() -> dict[str, str]:
                 os.path.join(_ORACLE_SF_DIR, "documents.parquet")
             )
         ),
-        "hash_split_98_1_1": (
-            "WITH h AS (SELECT doc_id, CAST("
-            + mm_sql.splitmix64_sql(
-                "CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + "
-                f"{1 << 64} ELSE CAST(doc_id AS HUGEINT) END"
-            )
-            + " % 10000 AS BIGINT) AS bp FROM documents) "
-            "SELECT doc_id, bp, CASE WHEN bp < 9800 THEN 'train' "
-            "WHEN bp < 9900 THEN 'val' ELSE 'test' END AS split FROM h"
+        "hash_split_98_1_1": _hash_split_oracle(),
+        # composition gate: the SAME mirrored stage subqueries chained
+        # over a kept CTE — gates the pipeline end-to-end
+        "curation_pipeline": (
+            f"WITH kept AS (SELECT d.doc_id, d.text FROM documents d "
+            f"JOIN ({quality}) q ON q.doc_id = d.doc_id "
+            f"JOIN ({_repetition_oracle()}) r ON r.doc_id = d.doc_id "
+            "WHERE q.keep AND r.top_token_count * 2 <= r.n_tokens), "
+            f"sp AS ({_hash_split_oracle('kept')}), "
+            f"pk AS ({_pack_oracle('kept')}) "
+            "SELECT sp.doc_id, sp.split, pk.bucket, pk.pack_seq, "
+            "pk.pack_offset FROM sp JOIN pk USING (doc_id)"
         ),
-        "pack_assign_512": (
-            "WITH d AS (SELECT doc_id, doc_id % 8 AS bucket, "
-            "len(list_filter(regexp_split_to_array(text, '[ \\t\\r\\n]+'), "
-            "t -> length(t) > 0)) AS dl FROM documents), "
-            "s AS (SELECT doc_id, bucket, dl, coalesce(sum(dl) OVER "
-            "(PARTITION BY bucket ORDER BY doc_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b "
-            "FROM d) "
-            "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, "
-            "CAST(dl AS BIGINT) AS dl, CAST(b // 512 AS BIGINT) AS pack_seq, "
-            "CAST(b % 512 AS BIGINT) AS pack_offset FROM s"
-        ),
+        "pack_assign_512": _pack_oracle(),
         # trained-idf pattern (cf. ann_ivf_top10): stats from the
         # ORACLE_SF_DIR parquet, identical pinned literals both sides
         "bm25_top10": webtext_sql.bm25_sql(
@@ -882,25 +937,7 @@ def oracle_sql() -> dict[str, str]:
         # structurally different oracle on purpose: Spark computes the
         # per-doc mode counts with a shuffle-free sorted-array linear
         # fold; DuckDB counts multiplicities via unnest + GROUP BY
-        "repetition_stats": (
-            "WITH base AS (SELECT doc_id, list_filter("
-            "regexp_split_to_array(text, '[ \\t\\r\\n]+'), t -> length(t) > 0) AS toks "
-            "FROM documents), "
-            "t AS (SELECT doc_id, unnest(toks) AS tok FROM base), "
-            "tc AS (SELECT doc_id, count(*) AS c FROM t GROUP BY doc_id, tok), "
-            "ta AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, "
-            "max(c) AS top_tok FROM tc GROUP BY doc_id), "
-            "b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
-            "i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM base), "
-            "bc AS (SELECT doc_id, count(*) AS c FROM b GROUP BY doc_id, bg), "
-            "ba AS (SELECT doc_id, max(c) AS top_bg FROM bc GROUP BY doc_id) "
-            "SELECT base.doc_id, CAST(coalesce(ta.n_tokens, 0) AS BIGINT) AS n_tokens, "
-            "CAST(coalesce(ta.n_distinct, 0) AS BIGINT) AS n_distinct_tokens, "
-            "CAST(coalesce(ta.top_tok, 0) AS BIGINT) AS top_token_count, "
-            "CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams, "
-            "CAST(coalesce(ba.top_bg, 0) AS BIGINT) AS top_bigram_count "
-            "FROM base LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)"
-        ),
+        "repetition_stats": _repetition_oracle(),
         "vocab_top100": (
             "WITH tok AS (SELECT doc_id, unnest(list_filter("
             "regexp_split_to_array(text, '[ \\t\\r\\n]+'), t -> length(t) > 0)) AS token "

@@ -182,6 +182,7 @@ def run_headline(spark) -> dict[str, float]:
         "hash_split_98_1_1",
         "pack_assign_512",
         "lm_score_unigram",
+        "curation_pipeline",
         "simhash64",
         "doc_fingerprint",
         "ngram_jaccard_pairs",

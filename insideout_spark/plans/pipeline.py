@@ -74,3 +74,37 @@ def geocode_pipeline(
     points = extract_points(curated)
     hits = pip_join(points, index, id_cols=("url",))
     return assign_tiles(hits, s2_level=s2_level, grid_res=grid_res)
+
+
+def curate_text_pipeline(
+    docs: DataFrame, budget_tokens: int = 512, n_buckets: int = 8
+) -> DataFrame:
+    """The LLM-corpus curation closer, composed from the engine's own
+    operators in one plan: Gopher quality rules AND a repetition cap
+    (most-common token <= 50% of tokens) select the kept set; the kept
+    documents get a leakage-safe hash split and a sequence-packing
+    assignment. Output: (doc_id, split, bucket, pack_seq, pack_offset)
+    for kept docs only — the manifest a training-data loader consumes.
+
+    Plan shape: the three per-doc stages (quality, repetition, split)
+    are zero-shuffle Catalyst; packing adds its one bucket shuffle; the
+    id-equi-joins co-partition. The DuckDB oracle chains the SAME
+    mirrored subqueries over a `kept` CTE — composition is gated
+    end-to-end, not just each stage alone."""
+    from .webtext import hash_split, pack_assign, quality_rules, repetition_stats
+
+    q = quality_rules(docs).select("doc_id", "keep")
+    r = repetition_stats(docs).select(
+        "doc_id", F.col("n_tokens").alias("__rn"), "top_token_count"
+    )
+    kept = (
+        docs.join(q, "doc_id")
+        .join(r, "doc_id")
+        .filter(F.col("keep") & (F.col("top_token_count") * 2 <= F.col("__rn")))
+        .select("doc_id", "text")
+    )
+    sp = hash_split(kept).select("doc_id", "split")
+    pk = pack_assign(kept, budget_tokens, n_buckets)
+    return sp.join(pk, "doc_id").select(
+        "doc_id", "split", "bucket", "pack_seq", "pack_offset"
+    )

@@ -624,3 +624,21 @@ def test_lm_score_semantics(spark, tmp_path):
     assert got[1][0] == got[2][0] == 3
     assert got[1][1] > got[2][1]          # in-vocab >> OOV
     assert got[2][1] == 3 * model["oov_lp_q"]
+
+
+def test_curation_pipeline_filters_bite(spark):
+    """The composed curation plan: quality-fail and repetition-fail docs
+    drop out; survivors carry consistent split + pack assignments."""
+    from insideout_spark.plans.pipeline import curate_text_pipeline
+
+    rows = [
+        (1, "a solid document with eight reasonable tokens here"),
+        (2, "x y"),                          # quality r1: too short
+        (3, "spam " * 30),                   # repetition: one token = 100%
+        (4, "another good document passes all the configured gates"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curate_text_pipeline(df, 32, 2).collect()}
+    assert set(out) == {1, 4}
+    assert all(r["split"] in ("train", "val", "test") for r in out.values())
+    assert all(0 <= r["pack_offset"] < 32 for r in out.values())
