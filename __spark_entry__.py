@@ -364,6 +364,15 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.lm_score(_docs(spark, sf_dir), model)
 
 
+def _q_best_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group top-1 by mean LM log-prob per source (one int64/int64
+    double division ranks bit-identically cross-engine)."""
+    model = webtext.lm_train_from_parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    return webtext.best_doc_per_source(_docs(spark, sf_dir), model)
+
+
 def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation composition: quality + repetition filter ->
     hash split -> sequence packing, ONE plan; the oracle chains the
@@ -670,6 +679,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_98_1_1": _q_hash_split,
         "lm_score_unigram": _q_lm_score,
         "curation_pipeline": _q_curation,
+        "best_doc_per_source": _q_best_per_source,
         "pack_assign_512": _q_pack_assign,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
@@ -853,6 +863,11 @@ def oracle_sql() -> dict[str, str]:
         # bucketed rewrite (Spark) vs plain theta join (DuckDB)
         # trained-unigram pattern: the same pinned quantized vocab as a
         # VALUES table in DuckDB's own join engine
+        "best_doc_per_source": webtext_sql.best_doc_per_source_sql(
+            webtext.lm_train_from_parquet(
+                os.path.join(_ORACLE_SF_DIR, "documents.parquet")
+            )
+        ),
         "lm_score_unigram": webtext_sql.lm_score_sql(
             webtext.lm_train_from_parquet(
                 os.path.join(_ORACLE_SF_DIR, "documents.parquet")

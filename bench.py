@@ -183,6 +183,7 @@ def run_headline(spark) -> dict[str, float]:
         "pack_assign_512",
         "lm_score_unigram",
         "curation_pipeline",
+        "best_doc_per_source",
         "simhash64",
         "doc_fingerprint",
         "ngram_jaccard_pairs",

@@ -1333,3 +1333,28 @@ def lm_score(docs: DataFrame, model: dict, text_col: str = "text") -> DataFrame:
         F.count("token").alias("n_tokens"),
         F.coalesce(F.sum(lp), F.lit(0).cast("long")).alias("sum_lp_q"),
     )
+
+
+def best_doc_per_source(
+    docs: DataFrame, model: dict, source_col: str = "source", k: int = 1
+) -> DataFrame:
+    """Group top-k: the best-LM-scoring document per source — the
+    curation decision 'which page represents this domain'. Ranking key
+    is mean log-prob = sum_lp_q / n_tokens (ONE int64/int64 double
+    division — bit-identical cross-engine), ties by doc_id. Scale
+    shape: lm_score's combinable agg, then one shuffle on source with a
+    rank window bounded at k rows kept per group."""
+    scored = lm_score(docs, model).filter(F.col("n_tokens") > 0)
+    scored = scored.join(docs.select("doc_id", source_col), "doc_id")
+    mean_lp = (
+        F.col("sum_lp_q").cast("double") / F.col("n_tokens").cast("double")
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc("mean_lp"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("mean_lp", mean_lp)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(source_col, "doc_id", "n_tokens", "sum_lp_q", "mean_lp", "rank")
+    )

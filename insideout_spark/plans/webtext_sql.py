@@ -501,3 +501,18 @@ def lm_score_sql(model: dict, table: str = "documents") -> str:
         "CAST(coalesce(a.s, 0) AS BIGINT) AS sum_lp_q "
         "FROM base LEFT JOIN a USING (doc_id)"
     )
+
+
+def best_doc_per_source_sql(model: dict, table: str = "documents", k: int = 1) -> str:
+    """Oracle for webtext.best_doc_per_source: lm_score_sql as a CTE +
+    the same single-division ranking in DuckDB's window engine."""
+    return (
+        f"WITH s AS ({lm_score_sql(model, table)}), "
+        "j AS (SELECT d.source, s.doc_id, s.n_tokens, s.sum_lp_q, "
+        "CAST(s.sum_lp_q AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) AS mean_lp "
+        f"FROM s JOIN {table} d ON d.doc_id = s.doc_id WHERE s.n_tokens > 0) "
+        "SELECT source, doc_id, n_tokens, sum_lp_q, mean_lp, "
+        "CAST(row_number() OVER (PARTITION BY source "
+        "ORDER BY mean_lp DESC, doc_id) AS BIGINT) AS rank "
+        f"FROM j QUALIFY rank <= {int(k)}"
+    )

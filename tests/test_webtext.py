@@ -642,3 +642,23 @@ def test_curation_pipeline_filters_bite(spark):
     assert set(out) == {1, 4}
     assert all(r["split"] in ("train", "val", "test") for r in out.values())
     assert all(0 <= r["pack_offset"] < 32 for r in out.values())
+
+
+def test_best_doc_per_source(spark, tmp_path):
+    """Group top-1: per source, the doc with the highest mean logprob
+    wins; gibberish never beats in-vocab text."""
+    import pandas as pd
+
+    corpus = [(i, "good common words repeated often") for i in range(20)]
+    pq = str(tmp_path / "c.parquet")
+    pd.DataFrame(corpus, columns=["doc_id", "text"]).to_parquet(pq)
+    model = webtext.lm_train_from_parquet(pq, vocab_size=10)
+    rows = [
+        (1, "good common words", "a.com"),
+        (2, "zzz qqq xxx", "a.com"),          # OOV: loses
+        (3, "good good good", "b.com"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r["doc_id"] for r in
+           webtext.best_doc_per_source(df, model).collect()}
+    assert out == {"a.com": 1, "b.com": 3}
