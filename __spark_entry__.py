@@ -308,6 +308,19 @@ def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(errors, clicks)
 
 
+def _q_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a 10-minute staleness tolerance (pandas
+    merge_asof-style): matches older than the tolerance null out. The
+    oracle formulates the same rule as a CASE over DuckDB's native
+    ASOF output — different formulation, same semantics."""
+    from insideout_spark.plans.asof import asof_join
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    errors = events.filter(F.col("event_type") == "error")
+    clicks = events.filter(F.col("event_type") == "click")
+    return asof_join(errors, clicks, tolerance_us=600_000_000)
+
+
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: clicks inside 10-minute incident windows opened by
     same-user errors. Spark runs the bucketed rewrite (explode interval
@@ -673,6 +686,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_30m": _q_sessionize,
         "sessionize_native": _q_sessionize_native,
         "asof_click_before_error": _q_asof,
+        "asof_tolerance_10m": _q_asof_tol,
         "range_join_incidents": _q_range_join,
         "strip_html": _q_strip_html,
         "bm25_top10": _q_bm25,
@@ -859,6 +873,11 @@ def oracle_sql() -> dict[str, str]:
         "asof_click_before_error": _asof.asof_join_sql(
             "SELECT * FROM events WHERE event_type = 'error'",
             "SELECT * FROM events WHERE event_type = 'click'",
+        ),
+        "asof_tolerance_10m": _asof.asof_join_sql(
+            "SELECT * FROM events WHERE event_type = 'error'",
+            "SELECT * FROM events WHERE event_type = 'click'",
+            tolerance_us=600_000_000,
         ),
         # bucketed rewrite (Spark) vs plain theta join (DuckDB)
         # trained-unigram pattern: the same pinned quantized vocab as a

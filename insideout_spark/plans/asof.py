@@ -45,10 +45,14 @@ def asof_join(
     ts_col: str = "ts",
     left_id_col: str = "event_id",
     right_id_col: str = "event_id",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """(key, left_id, ts_us, right_id, rts_us): latest right row at or
     before each left row's timestamp, per key; right_id/rts_us NULL
-    when no right row precedes. Both inputs need (key, id, ts)."""
+    when no right row precedes. Both inputs need (key, id, ts).
+    `tolerance_us` (pandas merge_asof-style) nulls a match older than
+    the tolerance — the carried state is unchanged, only the emitted
+    match is age-gated, so one parameter serves any staleness rule."""
     r = (
         right.select(
             F.col(key_col).alias("k"),
@@ -81,8 +85,17 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last("rmatch", ignorenulls=True).over(w)
+    out = u.withColumn("__m", carried)
+    if tolerance_us is not None:
+        out = out.withColumn(
+            "__m",
+            F.when(
+                F.col("ts_us") - F.col("__m.rts_us") <= int(tolerance_us),
+                F.col("__m"),
+            ),
+        )
     return (
-        u.withColumn("__m", carried)
+        out
         .filter(F.col("side") == 1)
         .select(
             F.col("k").alias(key_col),
@@ -98,9 +111,21 @@ def asof_join_sql(
     left_sql: str,
     right_sql: str,
     key_col: str = "user_id",
+    tolerance_us: int | None = None,
 ) -> str:
     """DuckDB oracle: the engine-native ASOF LEFT JOIN over the same
-    (key, id, ts) inputs, with the same (key, rts)->max(id) collapse."""
+    (key, id, ts) inputs, with the same (key, rts)->max(id) collapse;
+    DuckDB's ASOF has no tolerance clause, so the age gate is an outer
+    CASE — a different formulation of the same rule."""
+    if tolerance_us is not None:
+        return (
+            "SELECT "
+            f"{key_col}, left_id, ts_us, "
+            "CASE WHEN ok THEN right_id END AS right_id, "
+            "CASE WHEN ok THEN rts_us END AS rts_us FROM ("
+            f"SELECT b.*, b.ts_us - b.rts_us <= {int(tolerance_us)} AS ok "
+            f"FROM ({asof_join_sql(left_sql, right_sql, key_col)}) b)"
+        )
     return (
         f"WITH l AS (SELECT {key_col} AS k, event_id AS left_id, "
         f"epoch_us(ts) AS ts_us FROM ({left_sql})), "

@@ -79,3 +79,17 @@ def test_range_join_bucket_boundaries(spark):
         if k == vk and s <= ts <= e
     }
     assert got == want and len(want) > 0
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """merge_asof-style tolerance: a match older than the tolerance
+    nulls out; fresh matches are untouched."""
+    left = spark.createDataFrame([(100, _t(60), 1), (101, _t(6), 1)], SCHEMA)
+    right = spark.createDataFrame([(1, _t(5), 1)], SCHEMA)
+    got = {
+        r["left_id"]: (r["right_id"], r["rts_us"])
+        for r in asof_join(left, right, tolerance_us=10 * 60_000_000).collect()
+    }
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert got[100] == (None, None)          # 55 min stale -> nulled
+    assert got[101] == (1, base + 5 * 60_000_000)  # 1 min: kept

@@ -287,3 +287,29 @@ def test_checkpoint_resume(spark, points_df, tmp_path):
     assert got.count() == df.count()
     assert got.select(F.sum("point_id")).first()[0] == df.select(F.sum("point_id")).first()[0]
     assert sum(r["rows"] for r in lin2.values()) == df.count()
+
+
+def test_density_guard_refines_coarse_res(spark):
+    """The earth-fixed grid makes a coarse res hint degenerate (all
+    targets in a handful of cells -> the ring join IS the cross join);
+    _bump_res_for_density must refine until the fullest cell is
+    bounded, without changing results (exactness is res-independent)."""
+    from insideout_spark.plans.knn import _bump_res_for_density
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    tgt = spark.createDataFrame(
+        [(int(i), 47.0 + float(rng.uniform(0, 1)), 2.0 + float(rng.uniform(0, 1)))
+         for i in range(800)],
+        "target_id long, lat double, lng double",
+    )
+    bumped = _bump_res_for_density(tgt, 4, 3, "target_id")
+    assert bumped > 4  # 800 targets in a 1-degree box at res 4: 1 cell
+    pts = spark.createDataFrame(
+        [(int(i), 47.0 + i * 0.009, 2.0 + i * 0.007) for i in range(50)],
+        "point_id long, lat double, lng double",
+    )
+    a = {tuple(r) for r in knn_cell_join(pts, tgt, k=3, res=4).collect()}
+    b = {tuple(r) for r in knn_brute(pts, tgt, k=3).collect()}
+    assert a == b
