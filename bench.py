@@ -171,6 +171,7 @@ def run_headline(spark) -> dict[str, float]:
         "sessionize_30m",
         "sessionize_native",
         "asof_click_before_error",
+        "asof_tolerance_10m",
         "range_join_incidents",
         "dedup_exact",
         "doc_stats",
