@@ -167,9 +167,7 @@ def _auto_res(targets: DataFrame, k: int) -> int:
     return geo_grid.MAX_RES
 
 
-def _bump_res_for_density(
-    targets: DataFrame, res: int, k: int, target_id_col: str
-) -> int:
+def _bump_res_for_density(targets: DataFrame, res: int, k: int) -> int:
     """Bound the ring-join fan-out: at a too-coarse resolution every
     target lands in a handful of cells and the 'ring join' degenerates
     into the full cross join (measured: res=7 on a 2.5-degree bbox with
@@ -276,7 +274,7 @@ def knn_cell_join(
         release_round_caches()
     if res is None:
         res = _auto_res(targets, k)
-    res = _bump_res_for_density(targets, res, k, target_id_col)
+    res = _bump_res_for_density(targets, res, k)
     n = 1 << res
     step = min(geo_grid.cell_width(res), geo_grid.cell_height(res))
     # ring rounds need r_hi < n/2 for wrap injectivity; beyond that the

@@ -194,9 +194,12 @@ def sessionize_sql(
     table: str = "events", gap_minutes: int = 30, strict: bool = True,
     with_seq: bool = True,
 ) -> str:
-    """DuckDB oracle twin of `sessionize` (strict=True: a gap of
-    exactly `gap_minutes` stays in-session) or of `sessionize_native`
-    (strict=False: >= opens a new session; no session_seq column).
+    """DuckDB oracle twin of `sessionize` AND (with with_seq=False) of
+    `sessionize_native` — both use the same INCLUSIVE boundary (an
+    event at exactly `gap_minutes` stays in-session; verified
+    empirically for session_window in tests/test_sessionize.py).
+    strict=False (>= opens a new session) is provided only for
+    exploring the alternative semantics; no shipped oracle uses it.
     epoch_us == unix_micros for parquet TIMESTAMP microsecond
     precision."""
     gap_us = int(gap_minutes) * 60_000_000

@@ -91,7 +91,7 @@ def curate_text_pipeline(
     id-equi-joins co-partition. The DuckDB oracle chains the SAME
     mirrored subqueries over a `kept` CTE — composition is gated
     end-to-end, not just each stage alone."""
-    from .webtext import hash_split, pack_assign, quality_rules, repetition_stats
+    from .webtext import pack_assign, quality_rules, repetition_stats, split_cols
 
     q = quality_rules(docs).select("doc_id", "keep")
     r = repetition_stats(docs).select(
@@ -103,8 +103,11 @@ def curate_text_pipeline(
         .filter(F.col("keep") & (F.col("top_token_count") * 2 <= F.col("__rn")))
         .select("doc_id", "text")
     )
-    sp = hash_split(kept).select("doc_id", "split")
     pk = pack_assign(kept, budget_tokens, n_buckets)
-    return sp.join(pk, "doc_id").select(
-        "doc_id", "split", "bucket", "pack_seq", "pack_offset"
+    # split is a pure function of doc_id (split_cols), so it projects
+    # straight onto the packing output — no join, and the kept subplan
+    # (the expensive double tokenization) executes exactly once
+    _, split = split_cols(F.col("doc_id"))
+    return pk.select(
+        "doc_id", split.alias("split"), "bucket", "pack_seq", "pack_offset"
     )

@@ -140,6 +140,13 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def ws_tokens(col):
+    """THE whitespace tokenizer (split on [ \\t\\r\\n]+, drop empties)
+    — token identity for every text operator. One definition here, one
+    SQL twin (webtext_sql.WS_TOKS_SQL); keep them in lockstep."""
+    return F.filter(F.split(col, "[ \\t\\r\\n]+"), lambda t: F.length(t) > 0)
+
+
 def _max_run_count(arr_col):
     """Highest multiplicity of any element in a string array, computed
     WITHOUT a shuffle: sort the array, then a single linear fold
@@ -181,9 +188,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     DuckDB oracle intentionally takes a structurally different route
     (unnest + GROUP BY multiplicity counting), so a value match checks
     the algorithm, not a shared formula."""
-    toks = F.filter(
-        F.split(F.col(text_col), "[ \\t\\r\\n]+"), lambda t: F.length(t) > 0
-    )
+    toks = ws_tokens(F.col(text_col))
     d = docs.select("doc_id", toks.alias("__toks"))
     n = F.size("__toks")
     bigrams = F.zip_with(
@@ -213,12 +218,7 @@ def vocab_topk(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFra
     tiebreak (count desc, token asc) makes the result deterministic
     and the rank a pure function of the aggregate, so the DuckDB
     oracle is value-exact."""
-    toks = F.explode(
-        F.filter(
-            F.split(F.col(text_col), "[ \\t\\r\\n]+"),
-            lambda t: F.length(t) > 0,
-        )
-    )
+    toks = F.explode(ws_tokens(F.col(text_col)))
     per_tok = (
         docs.select("doc_id", toks.alias("token"))
         .groupBy("token")
@@ -1063,19 +1063,19 @@ def bm25_stats_from_parquet(path: str, terms: tuple) -> dict:
         return _BM25_STATS_CACHE[key]
     import duckdb
 
+    from .webtext_sql import WS_TOKS_SQL
+
     con = duckdb.connect()
-    toks = (
-        "list_filter(regexp_split_to_array(text, '[ \\t\\r\\n]+'), "
-        "t -> length(t) > 0)"
-    )
+    toks = WS_TOKS_SQL
     n_docs, n_tokens = con.execute(
         f"SELECT count(*), sum(len({toks})) FROM read_parquet('{path}')"
     ).fetchone()
     dfs = {}
     for t in terms:
+        esc = t.replace("'", "''")
         dfs[t] = con.execute(
             f"SELECT count(*) FROM read_parquet('{path}') "
-            f"WHERE len(list_filter({toks}, x -> x = '{t}')) > 0"
+            f"WHERE len(list_filter({toks}, x -> x = '{esc}')) > 0"
         ).fetchone()[0]
     idf_q = {
         t: int(
@@ -1119,11 +1119,14 @@ def bm25_topk(
     for t in terms:  # fixed order: the float sum associates identically
         tf = F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(t))).cast("long")
         idf = int(stats["idf_q"][t])
-        num = (F.lit(idf) * tf * F.lit(22) * F.lit(int(n_tokens))).cast("double")
+        # literal products folded in PYTHON ints: a Catalyst int32
+        # multiply like lit(3) * lit(n_tokens) constant-folds in int
+        # arithmetic and ANSI-throws once 3 * n_tokens > 2^31
+        num = (F.lit(int(idf) * 22 * int(n_tokens)) * tf).cast("double")
         den = (
-            F.lit(10) * tf * F.lit(int(n_tokens))
-            + F.lit(3) * F.lit(int(n_tokens))
-            + F.lit(9) * dl * F.lit(int(n_docs))
+            F.lit(10 * int(n_tokens)) * tf
+            + F.lit(3 * int(n_tokens))
+            + F.lit(9 * int(n_docs)) * dl
         ).cast("double")
         score = score + num / den
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1194,22 +1197,29 @@ def hash_split(
     mod 10000 basis points; < train_bp -> train, < val_bp -> val, else
     test. Zero shuffle, pure Catalyst (splitmix64_col). Dedup BEFORE
     splitting so near-identical docs cannot straddle train/test."""
+    bp, split = split_cols(F.col(id_col), train_bp, val_bp)
+    return docs.select(id_col, bp.alias("bp"), split.alias("split"))
+
+
+def split_cols(id_col, train_bp: int = 9800, val_bp: int = 9900):
+    """(bp, split) expressions for a long id column — shared by
+    hash_split and the curation pipeline (split is a pure function of
+    the id, so composers can project it without a join). The basis-
+    point mod runs on the UNSIGNED 64-bit hash (2^64 % 10000 = 9936,
+    so a signed pmod diverges whenever the top bit is set); pmod in
+    decimal references the hash tree ONCE (a when()-based sign fixup
+    tripled the already-wide splitmix tree)."""
     from decimal import Decimal
 
-    # mod 10000 must run on the UNSIGNED 64-bit value (2^64 % 10000 =
-    # 9936, so signed pmod diverges whenever the hash has the top bit)
-    z = splitmix64_col(F.col(id_col).cast("long")).cast("decimal(38,0)")
+    z = splitmix64_col(id_col.cast("long")).cast("decimal(38,0)")
     two64 = F.lit(Decimal(1 << 64)).cast("decimal(38,0)")
-    u = F.when(z < 0, z + two64).otherwise(z)
-    bp = F.pmod(u, F.lit(10000).cast("decimal(38,0)")).cast("long")
-    return docs.select(
-        id_col,
-        bp.alias("bp"),
+    bp = F.pmod(F.pmod(z, two64), F.lit(10000).cast("decimal(38,0)")).cast("long")
+    split = (
         F.when(bp < train_bp, "train")
         .when(bp < val_bp, "val")
         .otherwise("test")
-        .alias("split"),
     )
+    return bp, split
 
 
 def pack_assign(
@@ -1228,9 +1238,7 @@ def pack_assign(
     Output: (doc_id, bucket, dl, pack_seq, pack_offset) with
     pack_seq = tokens-before div budget (exact integer div) and
     pack_offset = tokens-before mod budget."""
-    toks = F.filter(
-        F.split(F.col(text_col), "[ \\t\\r\\n]+"), lambda t: F.length(t) > 0
-    )
+    toks = ws_tokens(F.col(text_col))
     d = docs.select(
         F.col(id_col),
         F.pmod(F.col(id_col), F.lit(n_buckets)).cast("long").alias("bucket"),
@@ -1264,7 +1272,7 @@ def lm_train_from_parquet(path: str, vocab_size: int = 200) -> dict:
     pattern): top-`vocab_size` tokens by corpus frequency with
     add-one-smoothed quantized log-probs
 
-        lp_q(t) = floor(ln((c_t + 1) / (N + V + 1)) * 2^20 - 0.5)
+        lp_q(t) = floor(ln((c_t + 1) / (N + V + 1)) * 2^20)
 
     plus one OOV bucket lp_q(unk) = floor(ln(1 / (N + V + 1)) * ...).
     Log-probs are negative; floor moves toward -inf, so quantization is
@@ -1276,11 +1284,10 @@ def lm_train_from_parquet(path: str, vocab_size: int = 200) -> dict:
 
     import duckdb
 
+    from .webtext_sql import WS_TOKS_SQL
+
     con = duckdb.connect()
-    toks = (
-        "list_filter(regexp_split_to_array(text, '[ \\t\\r\\n]+'), "
-        "t -> length(t) > 0)"
-    )
+    toks = WS_TOKS_SQL
     rows = con.execute(
         f"WITH t AS (SELECT unnest({toks}) AS tok FROM read_parquet('{path}')) "
         "SELECT tok, count(*) AS c FROM t GROUP BY tok "
@@ -1318,9 +1325,7 @@ def lm_score(docs: DataFrame, model: dict, text_col: str = "text") -> DataFrame:
     vocab_df = spark.createDataFrame(
         [(t, lp) for t, lp in model["vocab"].items()], "token string, lp_q long"
     )
-    toks = F.filter(
-        F.split(F.col(text_col), "[ \\t\\r\\n]+"), lambda t: F.length(t) > 0
-    )
+    toks = ws_tokens(F.col(text_col))
     exploded = docs.select(
         "doc_id", F.explode_outer(toks).alias("token")
     )

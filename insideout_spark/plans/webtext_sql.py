@@ -11,6 +11,13 @@ from __future__ import annotations
 
 from . import webtext
 
+# SQL twin of webtext.ws_tokens — token identity for every text
+# operator; keep in lockstep with the Python expression
+WS_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(text, '[ \\t\\r\\n]+'), "
+    "t -> length(t) > 0)"
+)
+
 _TWO64 = 1 << 64
 _TWO63 = 1 << 63
 _P31 = (1 << 31) - 1
@@ -449,14 +456,12 @@ def bm25_sql(terms: tuple, stats: dict, table: str = "documents", k: int = 10) -
     serving arithmetic over the same pinned quantized idf literals,
     with the per-term sum generated in the same fixed order."""
     n_docs, n_tokens = int(stats["n_docs"]), int(stats["n_tokens"])
-    toks = (
-        "list_filter(regexp_split_to_array(text, '[ \\t\\r\\n]+'), "
-        "t -> length(t) > 0)"
-    )
+    toks = WS_TOKS_SQL
     parts = []
     for t in terms:
         idf = int(stats["idf_q"][t])
-        tf = f"len(list_filter(toks, x -> x = '{t}'))"
+        esc = t.replace("'", "''")
+        tf = f"len(list_filter(toks, x -> x = '{esc}'))"
         num = f"CAST({idf} * {tf} * 22 * {n_tokens} AS DOUBLE)"
         den = (
             f"CAST(10 * {tf} * {n_tokens} + 3 * {n_tokens} "
@@ -486,10 +491,7 @@ def lm_score_sql(model: dict, table: str = "documents") -> str:
         for tok, lp in model["vocab"].items()
     )
     oov = int(model["oov_lp_q"])
-    toks = (
-        "list_filter(regexp_split_to_array(text, '[ \\t\\r\\n]+'), "
-        "t -> length(t) > 0)"
-    )
+    toks = WS_TOKS_SQL
     return (
         f"WITH base AS (SELECT doc_id, {toks} AS toks FROM {table}), "
         "t AS (SELECT doc_id, unnest(toks) AS token FROM base), "

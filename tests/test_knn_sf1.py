@@ -70,7 +70,7 @@ def test_knn_brute_sample_matches_cell_join_sf1(spark):
 
 def test_density_guard_bumps_coarse_res_sf1(spark):
     tgt = entry_mod._targets(spark, SF1_DIR)
-    bumped = _bump_res_for_density(tgt, 7, 3, "target_id")
+    bumped = _bump_res_for_density(tgt, 7, 3)
     assert bumped >= 10  # res 7 would be the degenerate cross join
     # and the guarded join actually completes on a slice of the points
     pts = entry_mod._points(spark, SF1_DIR).filter(F.col("point_id") % 100 == 0)

@@ -304,7 +304,7 @@ def test_density_guard_refines_coarse_res(spark):
          for i in range(800)],
         "target_id long, lat double, lng double",
     )
-    bumped = _bump_res_for_density(tgt, 4, 3, "target_id")
+    bumped = _bump_res_for_density(tgt, 4, 3)
     assert bumped > 4  # 800 targets in a 1-degree box at res 4: 1 cell
     pts = spark.createDataFrame(
         [(int(i), 47.0 + i * 0.009, 2.0 + i * 0.007) for i in range(50)],
