@@ -91,18 +91,22 @@ def curate_text_pipeline(
     id-equi-joins co-partition. The DuckDB oracle chains the SAME
     mirrored subqueries over a `kept` CTE — composition is gated
     end-to-end, not just each stage alone."""
-    from .webtext import pack_assign, quality_rules, repetition_stats, split_cols
+    from .webtext import (
+        _max_run_count,
+        _quality_parts,
+        pack_assign,
+        split_cols,
+        ws_tokens,
+    )
 
-    q = quality_rules(docs).select("doc_id", "keep")
-    r = repetition_stats(docs).select(
-        "doc_id", F.col("n_tokens").alias("__rn"), "top_token_count"
-    )
-    kept = (
-        docs.join(q, "doc_id")
-        .join(r, "doc_id")
-        .filter(F.col("keep") & (F.col("top_token_count") * 2 <= F.col("__rn")))
-        .select("doc_id", "text")
-    )
+    # both filter stages are per-row expressions, so the kept set is
+    # ONE projection over ONE scan — no self-joins, no re-tokenization
+    # (the first draft joined quality_rules and repetition_stats back
+    # to docs: 3 scans + 2 joins for the same rows)
+    _, r1, r2, r3, r4 = _quality_parts("text")
+    wtoks = ws_tokens(F.col("text"))
+    rep_ok = _max_run_count(wtoks) * 2 <= F.size(wtoks).cast("long")
+    kept = docs.filter(r1 & r2 & r3 & r4 & rep_ok).select("doc_id", "text")
     pk = pack_assign(kept, budget_tokens, n_buckets)
     # split is a pure function of doc_id (split_cols), so it projects
     # straight onto the packing output — no join, and the kept subplan

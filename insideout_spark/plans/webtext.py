@@ -85,17 +85,9 @@ def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Gopher-style document quality rules (public heuristics from the
-    Gopher/MassiveText paper family), exact-integer formulation so the
-    oracle reproduces them bit-for-bit:
-
-      r1: 5 <= n_tokens <= 100000
-      r2: mean token length in [2, 12]  (scaled x1000 integer compare)
-      r3: no token longer than 60 chars
-      r4: at most 20% single-char tokens (x1000 integer compare)
-
-    Returns (doc_id, n_tokens, r1..r4 booleans, keep)."""
+def _quality_parts(text_col: str):
+    """(n_tokens, r1..r4) expressions — shared by quality_rules and the
+    curation pipeline (which fuses the filter into one scan)."""
     toks = F.split(F.trim(F.col(text_col)), " +")
     n = F.size(toks).cast("long")
     total_chars = F.aggregate(
@@ -107,6 +99,21 @@ def quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     r2 = (total_chars * 1000 >= n * 2000) & (total_chars * 1000 <= n * 12000)
     r3 = max_tok <= 60
     r4 = n_single * 1000 <= n * 200
+    return n, r1, r2, r3, r4
+
+
+def quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (public heuristics from the
+    Gopher/MassiveText paper family), exact-integer formulation so the
+    oracle reproduces them bit-for-bit:
+
+      r1: 5 <= n_tokens <= 100000
+      r2: mean token length in [2, 12]  (scaled x1000 integer compare)
+      r3: no token longer than 60 chars
+      r4: at most 20% single-char tokens (x1000 integer compare)
+
+    Returns (doc_id, n_tokens, r1..r4 booleans, keep)."""
+    n, r1, r2, r3, r4 = _quality_parts(text_col)
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),

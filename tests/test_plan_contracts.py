@@ -60,3 +60,11 @@ def test_simhash_pairs_band_join_is_partial_agged(spark):
     for line in p.splitlines():
         if "Exchange hashpartitioning(doc_a" in line:
             assert "simhash" not in line and "sa#" not in line
+
+
+def test_curation_pipeline_one_scan_no_joins(spark):
+    from insideout_spark.plans.pipeline import curate_text_pipeline
+
+    p = _plan(curate_text_pipeline(_docs(spark)))
+    assert p.count("Exchange") == 1  # only the packing bucket shuffle
+    assert "Join" not in p
