@@ -4,14 +4,16 @@ mapInPandas stages.
 
 Two tiers:
 
-* COMPRESSED codecs (PNG/JPEG/MP4) need PIL/ffmpeg, absent here — that
-  decode stays STUBBED per the build contract (`_decode_image_real`
-  raises NotImplementedError; the deterministic fake decoder keeps the
+* JPEG/MP4 need PIL/ffmpeg, absent here — that decode stays STUBBED
+  per the build contract (`_decode_image_real` raises
+  NotImplementedError; the deterministic fake decoder keeps the
   plumbing — schema, batch shape, partitioning — real and tested).
-* UNCOMPRESSED containers (RIFF/WAVE PCM16, BMP24) need no library:
-  `decode_wav` / `decode_bmp` below are REAL byte-level parsers (chunk
-  walk, fmt fields, bottom-up BGR rows, 4-byte padding), oracle-gated
-  by replaying the generator formula in DuckDB.
+* Everything else is REAL: RIFF/WAVE PCM16 and BMP24 are byte-level
+  parsers (chunk walk, fmt fields, bottom-up BGR rows, 4-byte padding),
+  and PNG — the one COMPRESSED format decodable with the stdlib — gets
+  a full decoder (`decode_png`: CRC-checked chunk walk, zlib inflate,
+  numpy unfilter over all five filter types). All oracle-gated by
+  replaying the generator formula in DuckDB.
 """
 
 from __future__ import annotations
@@ -359,6 +361,240 @@ def image_features(media: DataFrame) -> DataFrame:
         schema=(
             "doc_id long, width int, height int, sum_r long, sum_g long, "
             "sum_b long, wsum_r long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG decode (stdlib zlib + numpy unfilter — no PIL)
+# ---------------------------------------------------------------------------
+# PNG is the one compressed format this container CAN decode for real:
+# DEFLATE lives in the stdlib (zlib) and the scanline unfilter pass
+# (None/Sub/Up/Average/Paeth) is plain integer arithmetic. The synth
+# side writes honest PNGs — signature, CRC-32-checked chunks, IHDR,
+# zlib-compressed scanlines with a per-row filter that cycles through
+# ALL FIVE filter types, RGB and RGBA both exercised — and the decoder
+# walks chunks, verifies CRCs, inflates, and unfilters in numpy. The
+# oracle (plans/multimodal_sql.png_features_sql) replays the pixel
+# generator formula, never the bytes, so a gate match proves the full
+# encode->deflate->inflate->unfilter round trip.
+
+_PNG_STREAM = 1 << 30
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_dims(doc_id: int):
+    """(width, height, channels): RGBA on odd ids, RGB on even."""
+    return 1 + doc_id % 11, 1 + doc_id % 5, 4 if doc_id % 2 else 3
+
+
+def _png_pixels(doc_id: int, w: int, h: int, c: int) -> np.ndarray:
+    """(h, w, c) uint8 in top-down raster order from splitmix64; channel
+    k is byte k of the per-pixel hash (R low byte ... A byte 3)."""
+    idx = (
+        np.uint64(doc_id) * np.uint64(1 << 32)
+        + np.uint64(_PNG_STREAM)
+        + np.arange(h * w, dtype=np.uint64)
+    )
+    hsh = _splitmix64(idx)
+    px = np.empty((h * w, c), dtype=np.uint8)
+    for k in range(c):
+        px[:, k] = ((hsh >> np.uint64(8 * k)) & np.uint64(255)).astype(np.uint8)
+    return px.reshape(h, w, c)
+
+
+def _paeth_pred(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor (per the spec's tie-break order a, b, c)."""
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    return np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+
+
+def _png_filter_row(ftype: int, raw: np.ndarray, prev: np.ndarray) -> np.ndarray:
+    """Encoder side: raw scanline (w, c) int32 -> filtered bytes.
+    Vectorized — the encoder predicts from RAW neighbors, which are all
+    known up front (only the DECODER has the sequential dependency)."""
+    left = np.zeros_like(raw)
+    left[1:] = raw[:-1]
+    up = prev
+    ul = np.zeros_like(prev)
+    ul[1:] = prev[:-1]
+    if ftype == 0:
+        pred = 0
+    elif ftype == 1:
+        pred = left
+    elif ftype == 2:
+        pred = up
+    elif ftype == 3:
+        pred = (left + up) // 2
+    else:
+        pred = _paeth_pred(left, up, ul)
+    return ((raw - pred) % 256).astype(np.uint8).reshape(-1)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _synth_png_bytes(doc_id: int) -> bytes:
+    """A real PNG: 8-bit RGB/RGBA, non-interlaced, one IDAT, row filter
+    type (doc_id + y) % 5 so None/Sub/Up/Average/Paeth all occur."""
+    import struct
+    import zlib
+
+    w, h, c = _png_dims(doc_id)
+    px = _png_pixels(doc_id, w, h, c).astype(np.int32)
+    lines = []
+    prev = np.zeros((w, c), dtype=np.int32)
+    for y in range(h):
+        ft = (doc_id + y) % 5
+        lines.append(bytes([ft]) + _png_filter_row(ft, px[y], prev).tobytes())
+        prev = px[y]
+    color_type = 6 if c == 4 else 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Parse an 8-bit non-interlaced RGB/RGBA PNG into (h, w, c) uint8:
+    verify the signature and every chunk CRC, read IHDR, concatenate
+    IDAT chunks (the spec allows many), zlib-inflate, and unfilter.
+    Sub is a per-channel cumulative sum (vectorized); Up is one add;
+    Average/Paeth carry the spec's left/up-left recursion (per-pixel
+    across the row, numpy over channels)."""
+    import struct
+    import zlib
+
+    b = bytes(payload)
+    if b[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(b):
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack(">I", b[pos + 8 + size : pos + 12 + size])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={color_type} interlace={interlace}"
+        )
+    c = 4 if color_type == 6 else 3
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * c
+    if len(raw) != h * (1 + stride):
+        raise ValueError("scanline payload size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(raw[y * (1 + stride)])
+        line = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)].astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: prefix sum per channel, mod 256
+            rec = (line.reshape(w, c).cumsum(axis=0) % 256).reshape(stride)
+        elif ft == 2:  # Up
+            rec = (line + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: left-recursive
+            linew = line.reshape(w, c)
+            prevw = prev.reshape(w, c)
+            recw = np.empty((w, c), dtype=np.int32)
+            left = np.zeros(c, dtype=np.int32)
+            ul = np.zeros(c, dtype=np.int32)
+            for x in range(w):
+                up = prevw[x]
+                pred = (left + up) // 2 if ft == 3 else _paeth_pred(left, up, ul)
+                recw[x] = (linew[x] + pred) % 256
+                left, ul = recw[x], up
+            rec = recw.reshape(stride)
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, c)
+
+
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, media_type, payload) with REAL PNG bytes."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": [_synth_png_bytes(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def png_features(media: DataFrame) -> DataFrame:
+    """Decode PNG payloads and emit exact-integer pixel stats: width/
+    height/channels prove the IHDR parse, per-channel sums prove channel
+    order, sum_a proves the RGB/RGBA split (0 for RGB), and
+    wsum_r = sum((idx+1) * r) over raster order proves the unfilter
+    pass reconstructed every byte in place (any filter bug shifts it)."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "channels": [],
+                "sum_r": [], "sum_g": [], "sum_b": [], "sum_a": [], "wsum_r": [],
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_png(payload).astype(np.int64)
+                h, w, c = px.shape
+                flat_r = px[:, :, 0].reshape(-1)
+                rows["doc_id"].append(int(did))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["sum_r"].append(int(px[:, :, 0].sum()))
+                rows["sum_g"].append(int(px[:, :, 1].sum()))
+                rows["sum_b"].append(int(px[:, :, 2].sum()))
+                rows["sum_a"].append(int(px[:, :, 3].sum()) if c == 4 else 0)
+                rows["wsum_r"].append(
+                    int((np.arange(1, h * w + 1, dtype=np.int64) * flat_r).sum())
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, channels int, sum_r long, "
+            "sum_g long, sum_b long, sum_a long, wsum_r long"
         ),
     )
 

@@ -46,6 +46,38 @@ def audio_features_sql(table: str = "documents") -> str:
     )
 
 
+def png_features_sql(table: str = "documents") -> str:
+    """Oracle for multimodal.png_features over synth_png_media:
+    w = 1 + doc_id % 11, h = 1 + doc_id % 5, channels = 3 + doc_id % 2
+    (RGBA on odd ids), pixel idx in top-down raster order, channel k =
+    byte k of splitmix64(doc_id * 2^32 + 2^30 + idx). The Spark side
+    goes formula -> filtered scanlines -> DEFLATE -> real PNG chunks ->
+    CRC-checked parse -> inflate -> numpy unfilter; this replay of the
+    raw formula proves that whole round trip byte-for-byte."""
+    h = splitmix64_sql(
+        f"(CAST(doc_id AS HUGEINT) * {1 << 32} + {1 << 30} + i) % {_TWO64}"
+    )
+    return (
+        f"WITH dims AS (SELECT doc_id, 1 + doc_id % 11 AS w, 1 + doc_id % 5 AS ht, "
+        f"3 + doc_id % 2 AS c FROM {table}), "
+        "idx AS (SELECT doc_id, w, ht, c, unnest(range(0, w * ht)) AS i FROM dims), "
+        f"px AS (SELECT doc_id, w, ht, c, i, ({h}) AS hv FROM idx), "
+        "ch AS (SELECT doc_id, w, ht, c, i, "
+        "CAST(hv % 256 AS BIGINT) AS r, "
+        "CAST((hv // 256) % 256 AS BIGINT) AS g, "
+        "CAST((hv // 65536) % 256 AS BIGINT) AS b, "
+        "CAST((hv // 16777216) % 256 AS BIGINT) AS a FROM px) "
+        "SELECT doc_id, CAST(any_value(w) AS INTEGER) AS width, "
+        "CAST(any_value(ht) AS INTEGER) AS height, "
+        "CAST(any_value(c) AS INTEGER) AS channels, "
+        "CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g, "
+        "CAST(sum(b) AS BIGINT) AS sum_b, "
+        "CAST(CASE WHEN any_value(c) = 4 THEN sum(a) ELSE 0 END AS BIGINT) AS sum_a, "
+        "CAST(sum((i + 1) * r) AS BIGINT) AS wsum_r "
+        "FROM ch GROUP BY doc_id"
+    )
+
+
 def image_features_sql(table: str = "documents") -> str:
     """Oracle for multimodal.image_features over synth_bmp_media:
     w = 1 + doc_id % 13, h = 1 + doc_id % 7, pixel idx in top-down
