@@ -194,6 +194,7 @@ def run_headline(spark) -> dict[str, float]:
         "simhash_near_dup_pairs",
         "audio_wav_features",
         "image_bmp_features",
+        "image_png_features",
         "emb_near_dup_pairs",
         "dedup_components",
     ):

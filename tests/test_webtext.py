@@ -508,6 +508,54 @@ def test_bmp_roundtrip_padding_and_topdown():
     assert (mm.decode_bmp(payload) == px).all()
 
 
+def test_png_roundtrip_filters_crc_and_multi_idat():
+    """decode_png is a real parser: round-trips the generator across
+    doc_ids whose per-row filters cover all five types and both RGB
+    and RGBA; rejects corrupted CRCs; and handles layouts the
+    generator never writes — IDAT split across multiple chunks (the
+    spec allows any split of the zlib stream)."""
+    import struct
+    import zlib
+
+    from insideout_spark.plans import multimodal as mm
+
+    fts = set()
+    for did in range(40):
+        w, h, c = mm._png_dims(did)
+        got = mm.decode_png(mm._synth_png_bytes(did))
+        want = mm._png_pixels(did, w, h, c)
+        assert got.shape == (h, w, c) and (got == want).all()
+        fts.update((did + y) % 5 for y in range(h))
+    assert fts == {0, 1, 2, 3, 4}
+
+    # corrupt one IDAT payload byte -> CRC check must fire
+    raw = bytearray(mm._synth_png_bytes(9))
+    idat = raw.index(b"IDAT")
+    raw[idat + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(raw))
+
+    # split the zlib stream across two IDAT chunks
+    raw = mm._synth_png_bytes(9)
+    sig_ihdr = raw[: 8 + 12 + 13]  # signature + IHDR chunk
+    (size,) = struct.unpack(">I", raw[8 + 25 : 8 + 29])
+    body = raw[8 + 25 + 8 : 8 + 25 + 8 + size]
+    mid = len(body) // 2
+    spliced = (
+        sig_ihdr
+        + mm._png_chunk(b"IDAT", body[:mid])
+        + mm._png_chunk(b"IDAT", body[mid:])
+        + mm._png_chunk(b"IEND", b"")
+    )
+    w, h, c = mm._png_dims(9)
+    assert (mm.decode_png(spliced) == mm._png_pixels(9, w, h, c)).all()
+    # sanity: the reference stream really was zlib (decompresses)
+    zlib.decompress(body)
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"\x89PNX" + b"\x00" * 32)
+
+
 def test_repetition_stats_known_values(spark):
     """Exact Gopher-style repetition counters on a hand-checked corpus,
     including the empty and single-token edge cases."""
