@@ -620,7 +620,10 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return webtext.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    """block_cap=3 < the max gate-scale block (4), so the star-to-
+    representative cap LOGIC is itself value-gated, not just mirrored
+    (VERDICT r03 'Next round' #3)."""
+    return webtext.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2, block_cap=3)
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1029,7 +1032,7 @@ def oracle_sql() -> dict[str, str]:
             + webtext_sql.minhash_pairs_sql(threshold=0.35)
             + ")"
         ),
-        "ngram_jaccard_pairs": webtext_sql.ngram_pairs_sql(threshold=0.2),
+        "ngram_jaccard_pairs": webtext_sql.ngram_pairs_sql(threshold=0.2, block_cap=3),
         # sign-random-projection LSH with literal hyperplanes: same
         # seeded planes, same bucket bits, same distinct candidate join,
         # rounded-cosine ranking

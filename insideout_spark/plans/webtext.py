@@ -316,6 +316,30 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5) -> D
     return docs.select("doc_id", text_col).mapInPandas(run, schema="doc_id long, sig array<long>")
 
 
+# cached per-doc fingerprint/signature frames of past near-dup calls;
+# superseded on the next call of the same operator (auto-release) or
+# freed explicitly — same contract as plans/knn.release_round_caches
+# (ADVICE r03: simhash_near_dup_pairs/minhash_lsh_pairs leaked one
+# pinned cache per call in long sessions)
+_SIG_CACHES: list = []
+
+
+def release_signature_caches() -> None:
+    """Unpersist every signature/fingerprint cache left by previous
+    minhash_lsh_pairs / simhash_near_dup_pairs calls. Released result
+    DataFrames stay valid — re-consuming them recomputes."""
+    while _SIG_CACHES:
+        _SIG_CACHES.pop().unpersist()
+
+
+def _register_sig_cache(df: DataFrame, auto_release: bool) -> DataFrame:
+    if auto_release:
+        release_signature_caches()
+    df = df.cache()
+    _SIG_CACHES.append(df)
+    return df
+
+
 def _capped_bucket_pairs(
     bands: DataFrame,
     key_cols: list,
@@ -330,12 +354,21 @@ def _capped_bucket_pairs(
     self-join emits m(m-1)/2 candidates — quadratic under duplicate-
     cluster skew, which exact dedup upstream does not remove (near-
     identical != identical). Buckets over `bucket_cap` emit a STAR to
-    their min-id representative instead (m-1 pairs): every cluster
-    member still connects to the cluster through the representative
-    (connected components downstream are unchanged), and the verified
-    pair count is bounded linear in the cluster size. Buckets at or
-    under the cap keep the exact clique, so at oracle-gate scale
-    (buckets << cap) results are identical with or without the cap.
+    their min-id representative instead (m-1 pairs), bounding the
+    candidate count linear in the cluster size.
+
+    Connectivity caveat (ADVICE r03): on the UNFILTERED candidate
+    graph the star preserves each bucket's connectivity exactly. But
+    callers re-verify candidates against a similarity threshold
+    (est_jaccard / hamming / cosine), and a star edge rep-member can
+    FAIL that threshold where some member-member edge would have
+    passed — a capped bucket can therefore split a cluster relative to
+    the uncapped clique in downstream connected components. That is
+    the accepted recall trade at the capped scale (the cap only fires
+    on pathological buckets); the oracle mirrors the cap, so the gate
+    verifies the cap's semantics rather than hiding them. Buckets at
+    or under the cap keep the exact clique, so results are identical
+    with or without the cap until a bucket exceeds it.
     `bucket_cap=None` disables capping. Capped-bucket observability is
     one aggregate away: lsh_bucket_stats()."""
     left = bands.select(F.col(id_col).alias(a_name), *key_cols)
@@ -380,20 +413,47 @@ def lsh_bucket_stats(bands: DataFrame, key_cols: list, id_col: str, bucket_cap: 
     )
 
 
+def save_signatures(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    k: int = 5,
+    mode: str = "overwrite",
+) -> None:
+    """Persist MinHash signatures to parquet — the corpus-scale
+    contract (VERDICT r03 'Next round' #5): at 100 TB the signature
+    pass is the expensive leg (one full text scan + hashing), and a
+    saved signature table lets every downstream near-dup run —
+    different thresholds, band configs re-using the same perms,
+    incremental re-clustering — skip it. Pass the loaded table to
+    `minhash_lsh_pairs(signatures=...)`."""
+    minhash_signatures(docs, text_col, k).write.mode(mode).parquet(path)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.5,
     bucket_cap: int | None = 1024,
+    signatures: DataFrame | None = None,
+    auto_release: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded LSH, verified by signature-
     estimated Jaccard >= threshold. shingle->minhash->band->bucket-join:
-    one shuffle on band hash, self-join within buckets only."""
-    # cached: sigs feed the band explode AND both re-attach joins; the
-    # cache lives until the session evicts it — at true corpus scale
-    # write signatures to a table instead of recomputing per run
-    sigs = minhash_signatures(docs, text_col, k).cache()
+    one shuffle on band hash, self-join within buckets only.
+
+    `signatures`: a precomputed (doc_id, sig) table (see
+    save_signatures) — skips the signature pass entirely; the caller
+    owns its lifecycle. Without it, signatures are computed and cached
+    for this call (they feed the band explode AND both re-attach
+    joins); the previous call's cache is auto-released."""
+    if signatures is not None:
+        sigs = signatures
+    else:
+        sigs = _register_sig_cache(
+            minhash_signatures(docs, text_col, k), auto_release
+        )
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
     # band key = the raw 4-tuple (stringified), NOT a hash of it: the
     # candidate set is then provably identical to the DuckDB oracle's
@@ -549,6 +609,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bucket_cap: int | None = 1024,
+    auto_release: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs (doc_a, doc_b, hamming): split the 64-bit
     fingerprint into 4 disjoint 16-bit blocks and self-join on each
@@ -564,7 +625,7 @@ def simhash_near_dup_pairs(
     carries only (doc_a, doc_b). Fingerprint-level dedup analog of the
     reference's identical-result dedup (index.go:71-74, dedup of
     posting hits); DuckDB oracle: webtext_sql.simhash_pairs_sql."""
-    sh = simhash64(docs, text_col).cache()
+    sh = _register_sig_cache(simhash64(docs, text_col), auto_release)
     bands = sh.select(
         "doc_id",
         F.explode(
@@ -599,16 +660,33 @@ def simhash_near_dup_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.3
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+    block_cap: int | None = 1024,
 ) -> DataFrame:
     """Exact n-gram (token) Jaccard over blocked pairs: blocks on the
     opening BIGRAM (first two tokens) to avoid the full cross join,
     then exact set Jaccard in Catalyst array functions. Round 1
     blocked on the first token alone — web text makes "the"/"le"
     blocks enormous and quadratic (VERDICT r01 'What's wrong' #3); the
-    bigram key spreads stopword openings across second tokens. For
-    corpora where near-dups share openings; the MinHash path is the
-    general one. Exactly mirrored by the DuckDB oracle in
+    bigram key spreads stopword openings across second tokens.
+
+    `block_cap` (VERDICT r03 'Next round' #3) bounds the remaining
+    quadratic-in-block worst case — replicated corpora where near-dup
+    replicas share opening bigrams (measured: 142 s for 50 k docs at
+    derived sf1, every block ~10x denser). Blocks over the cap emit a
+    STAR to their min-id representative (m-1 pairs) instead of the
+    m(m-1)/2 clique, same pattern as `_capped_bucket_pairs`. Star
+    pairs still pass through the size-ratio prefilter and the Jaccard
+    threshold, so a capped block only reports members similar to its
+    REPRESENTATIVE — member-member pairs that would have passed are
+    not emitted (documented recall trade; the MinHash path is the
+    general near-dup detector). Everything stays co-partitioned on the
+    block key: the count/rep aggregate, the join back, the clique
+    self-join, and the star's rep-grams join add no second shuffle
+    key. Exactly mirrored (cap included) by the DuckDB oracle in
     __spark_entry__.py."""
     toks = F.split(F.trim(F.col(text_col)), " +")
     grams = F.array_distinct(
@@ -625,9 +703,36 @@ def ngram_jaccard_pairs(
         F.coalesce(F.try_element_at(toks, F.lit(2)), F.lit("")),
     )
     d = docs.select("doc_id", block.alias("block"), grams.alias("grams"))
-    a = d.select(F.col("doc_id").alias("doc_a"), "block", F.col("grams").alias("ga"))
-    b = d.select(F.col("doc_id").alias("doc_b"), "block", F.col("grams").alias("gb"))
-    pairs = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
+    if block_cap is None:
+        a = d.select(F.col("doc_id").alias("doc_a"), "block", F.col("grams").alias("ga"))
+        b = d.select(F.col("doc_id").alias("doc_b"), "block", F.col("grams").alias("gb"))
+        pairs = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
+    else:
+        stats = d.groupBy("block").agg(
+            F.count("*").alias("__bn"), F.min("doc_id").alias("__rep")
+        )
+        dd = d.join(stats, "block")
+        small = dd.filter(F.col("__bn") <= block_cap)
+        clique = (
+            small.select(F.col("doc_id").alias("doc_a"), "block", F.col("grams").alias("ga"))
+            .join(
+                small.select(F.col("doc_id").alias("doc_b"), "block", F.col("grams").alias("gb")),
+                "block",
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+        )
+        # rep = min doc_id per block, so doc_a < doc_b by construction;
+        # one row per doc per block -> no duplicate pairs, no dedup
+        reps = dd.filter(F.col("doc_id") == F.col("__rep")).select(
+            "block", F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")
+        )
+        star = (
+            dd.filter((F.col("__bn") > block_cap) & (F.col("doc_id") != F.col("__rep")))
+            .select("block", F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+            .join(reps, "block")
+        )
+        cols = ["doc_a", "doc_b", "ga", "gb"]
+        pairs = clique.select(cols).unionByName(star.select(cols))
     # size-ratio prefilter: J(A,B) <= min/max, so Jaccard >= t requires
     # min(|A|,|B|) >= t * max(|A|,|B|) — prunes most pairs before the
     # O(|A|+|B|) set intersection (exact integer sizes, identical

@@ -218,22 +218,54 @@ def simhash_pairs_sql(
 
 
 def ngram_pairs_sql(
-    table: str = "documents", n: int = 3, threshold: float = 0.2
+    table: str = "documents",
+    n: int = 3,
+    threshold: float = 0.2,
+    block_cap: int | None = 1024,
 ) -> str:
     """Oracle for webtext.ngram_jaccard_pairs: same opening-bigram
-    block key, same distinct n-gram sets, exact Jaccard."""
-    return (
+    block key, same distinct n-gram sets, same block-cap star
+    semantics (blocks over the cap pair members with their min-id
+    representative only), exact Jaccard."""
+    sizef = (
+        "least(CAST(len(p.ga) AS DOUBLE), CAST(len(p.gb) AS DOUBLE)) >= "
+        f"{threshold}e0 * greatest(CAST(len(p.ga) AS DOUBLE), CAST(len(p.gb) AS DOUBLE))"
+    )
+    base = (
         f"WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks FROM {table}), "
         "g AS (SELECT doc_id, "
         "toks[1] || '|' || coalesce(toks[2], '') AS block, "
         f"list_distinct(list_transform(range(0, greatest(len(toks) - {n}, 0) + 1), "
         f"i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))) AS grams FROM t), "
-        "j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-        "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
-        "CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard "
-        "FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id "
-        "AND least(CAST(len(a.grams) AS DOUBLE), CAST(len(b.grams) AS DOUBLE)) >= "
-        f"{threshold}e0 * greatest(CAST(len(a.grams) AS DOUBLE), CAST(len(b.grams) AS DOUBLE))) "
+    )
+    if block_cap is None:
+        pairs = (
+            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "a.grams AS ga, b.grams AS gb "
+            "FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id) "
+        )
+    else:
+        pairs = (
+            "s AS (SELECT block, count(*) AS __bn, min(doc_id) AS __rep "
+            "FROM g GROUP BY block), "
+            "p AS ("
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.grams AS ga, b.grams AS gb "
+            "FROM g a JOIN s ON a.block = s.block "
+            f"AND s.__bn <= {int(block_cap)} "
+            "JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id "
+            "UNION ALL "
+            "SELECT s.__rep AS doc_a, x.doc_id AS doc_b, ra.grams AS ga, x.grams AS gb "
+            "FROM g x JOIN s ON x.block = s.block "
+            f"AND s.__bn > {int(block_cap)} AND x.doc_id != s.__rep "
+            "JOIN g ra ON ra.doc_id = s.__rep) "
+        )
+    return (
+        base
+        + pairs
+        + ", j AS (SELECT doc_a, doc_b, "
+        "CAST(len(list_intersect(p.ga, p.gb)) AS DOUBLE) / "
+        "CAST(len(list_distinct(list_concat(p.ga, p.gb))) AS DOUBLE) AS jaccard "
+        f"FROM p WHERE {sizef}) "
         f"SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {threshold}e0"
     )
 

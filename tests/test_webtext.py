@@ -508,6 +508,67 @@ def test_bmp_roundtrip_padding_and_topdown():
     assert (mm.decode_bmp(payload) == px).all()
 
 
+def test_minhash_saved_signatures_roundtrip(spark, tmp_path):
+    """save_signatures -> parquet -> minhash_lsh_pairs(signatures=...)
+    must produce exactly the pairs of the direct path (the corpus-scale
+    reuse contract), and the signature caches of direct calls must be
+    releasable / auto-released (ADVICE r03)."""
+    from insideout_spark.plans import webtext
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    direct = {
+        tuple(r)
+        for r in webtext.minhash_lsh_pairs(docs, threshold=0.35).collect()
+    }
+    path = str(tmp_path / "sigs.parquet")
+    webtext.save_signatures(docs, path)
+    sigs = spark.read.parquet(path)
+    via_saved = {
+        tuple(r)
+        for r in webtext.minhash_lsh_pairs(
+            docs, threshold=0.35, signatures=sigs
+        ).collect()
+    }
+    assert via_saved == direct and len(direct) > 0
+
+    # cache registry: a direct call registers one cache; the next
+    # direct call auto-releases it; explicit release empties the list
+    webtext.minhash_lsh_pairs(docs, threshold=0.35).count()
+    assert len(webtext._SIG_CACHES) == 1
+    webtext.simhash_near_dup_pairs(docs).count()
+    assert len(webtext._SIG_CACHES) == 1  # predecessor released
+    webtext.release_signature_caches()
+    assert webtext._SIG_CACHES == []
+
+
+def test_ngram_block_cap_star_semantics(spark):
+    """Blocks over block_cap pair members with the min-id representative
+    only; sub-cap blocks keep the exact clique (hand-checked corpus)."""
+    from insideout_spark.plans import webtext
+
+    rows = [
+        # one block of 4 identical docs (block 'x y'), one block of 2
+        (1, "x y a b c"),
+        (2, "x y a b c"),
+        (3, "x y a b c"),
+        (4, "x y a b c"),
+        (10, "p q r s t"),
+        (11, "p q r s t"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in webtext.ngram_jaccard_pairs(docs, threshold=0.5, block_cap=None).collect()
+    }
+    assert uncapped == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (10, 11)}
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in webtext.ngram_jaccard_pairs(docs, threshold=0.5, block_cap=3).collect()
+    }
+    # big block -> star to rep=1; 2-doc block under cap -> clique kept
+    assert capped == {(1, 2), (1, 3), (1, 4), (10, 11)}
+
+
 def test_png_roundtrip_filters_crc_and_multi_idat():
     """decode_png is a real parser: round-trips the generator across
     doc_ids whose per-row filters cover all five types and both RGB
