@@ -1204,41 +1204,72 @@ def bm25_stats_from_parquet(path: str, terms: tuple) -> dict:
     return out
 
 
+def bm25_wide_needed(stats: dict, tf_headroom: int = 1 << 20) -> bool:
+    """True when the int64 serving arithmetic could overflow: the
+    largest literal product idf_q * 22 * n_tokens times a tf up to
+    `tf_headroom` (2^20 tokens of one term in one doc — generous) must
+    stay under 2^63. Shared by bm25_topk and the oracle generator so
+    both engines switch representations together."""
+    max_idf = max((int(v) for v in stats["idf_q"].values()), default=1)
+    n = max(int(stats["n_tokens"]), int(stats["n_docs"]))
+    return max(max_idf * 22, 10) * n * tf_headroom >= 1 << 63
+
+
 def bm25_topk(
-    docs: DataFrame, terms: tuple, stats: dict, k: int = 10
+    docs: DataFrame, terms: tuple, stats: dict, k: int = 10, wide: bool | None = None
 ) -> DataFrame:
     """BM25 top-k (k1=1.2, b=0.75) with EXACT cross-engine arithmetic:
     multiplying the classic per-term score through by 10 * n_tokens
-    makes numerator and denominator int64 —
+    makes numerator and denominator integers —
 
       score_t = idf_q * tf * 22 * Ntok
                 / (10*tf*Ntok + 3*Ntok + 9*dl*Ndoc)
 
-    — and one int64/int64 double division per term is bit-identical in
-    Spark and DuckDB (same int->double conversion, correctly-rounded
+    — and one integer/integer double division per term is bit-identical
+    in Spark and DuckDB (same int->double conversion, correctly-rounded
     divide); the per-term sum is generated in fixed term order. Scale
     shape: tf/dl are per-row Catalyst array ops (zero shuffle), the
-    top-k is TakeOrderedAndProject. int64 bound: idf_q*tf*22*Ntok must
-    stay under 2^63 — holds to ~10^9-token corpora with tf <= 10^3;
-    beyond that, widen to decimal."""
+    top-k is TakeOrderedAndProject.
+
+    Representation (VERDICT r03 'Next round' #4): int64 holds the
+    products to ~10^9-token corpora; past that (`bm25_wide_needed`,
+    auto when `wide` is None) numerator and denominator run in
+    decimal(38,0) — exact to 10^38, far beyond any corpus — and cast
+    to double only for the final division. Both representations are
+    exact integers until that cast, so wide and narrow agree wherever
+    narrow doesn't throw; the oracle (webtext_sql.bm25_sql) mirrors
+    the switch with HUGEINT."""
+    from decimal import Decimal
+
     n_docs, n_tokens = stats["n_docs"], stats["n_tokens"]
+    if wide is None:
+        wide = bm25_wide_needed(stats)
     toks = F.filter(
         F.split(F.col("text"), "[ \\t\\r\\n]+"), lambda t: F.length(t) > 0
     )
     d = docs.select("doc_id", toks.alias("__toks"))
     dl = F.size("__toks").cast("long")
     score = F.lit(0.0)
+
+    def lit_int(v: int):
+        # literal products folded in PYTHON ints: a Catalyst int32
+        # multiply like lit(3) * lit(n_tokens) constant-folds in int
+        # arithmetic and ANSI-throws once 3 * n_tokens > 2^31. Wide
+        # literals enter as Decimal (py4j long caps at 2^63).
+        return (
+            F.lit(Decimal(v)).cast("decimal(38,0)") if wide else F.lit(int(v))
+        )
+
     for t in terms:  # fixed order: the float sum associates identically
         tf = F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(t))).cast("long")
         idf = int(stats["idf_q"][t])
-        # literal products folded in PYTHON ints: a Catalyst int32
-        # multiply like lit(3) * lit(n_tokens) constant-folds in int
-        # arithmetic and ANSI-throws once 3 * n_tokens > 2^31
-        num = (F.lit(int(idf) * 22 * int(n_tokens)) * tf).cast("double")
+        tf_w = tf.cast("decimal(38,0)") if wide else tf
+        dl_w = dl.cast("decimal(38,0)") if wide else dl
+        num = (lit_int(int(idf) * 22 * int(n_tokens)) * tf_w).cast("double")
         den = (
-            F.lit(10 * int(n_tokens)) * tf
-            + F.lit(3 * int(n_tokens))
-            + F.lit(9 * int(n_docs)) * dl
+            lit_int(10 * int(n_tokens)) * tf_w
+            + lit_int(3 * int(n_tokens))
+            + lit_int(9 * int(n_docs)) * dl_w
         ).cast("double")
         score = score + num / den
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))

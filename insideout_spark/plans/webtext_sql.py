@@ -483,21 +483,38 @@ def strip_html_sql(html_expr: str, table: str = "documents") -> str:
     )
 
 
-def bm25_sql(terms: tuple, stats: dict, table: str = "documents", k: int = 10) -> str:
+def bm25_sql(
+    terms: tuple,
+    stats: dict,
+    table: str = "documents",
+    k: int = 10,
+    wide: bool | None = None,
+) -> str:
     """Oracle for webtext.bm25_topk: the identical integer-ratio
     serving arithmetic over the same pinned quantized idf literals,
-    with the per-term sum generated in the same fixed order."""
+    with the per-term sum generated in the same fixed order. Past the
+    int64 corpus bound (webtext.bm25_wide_needed — the SAME predicate
+    the Spark side auto-switches on) the products run in HUGEINT, the
+    twin of Spark's decimal(38,0) widening: both are exact integers
+    until the final cast-to-double, which is correctly rounded in both
+    engines."""
+    from . import webtext
+
     n_docs, n_tokens = int(stats["n_docs"]), int(stats["n_tokens"])
+    if wide is None:
+        wide = webtext.bm25_wide_needed(stats)
+    cast_t = "HUGEINT" if wide else "BIGINT"
     toks = WS_TOKS_SQL
     parts = []
     for t in terms:
         idf = int(stats["idf_q"][t])
         esc = t.replace("'", "''")
-        tf = f"len(list_filter(toks, x -> x = '{esc}'))"
-        num = f"CAST({idf} * {tf} * 22 * {n_tokens} AS DOUBLE)"
+        tf = f"CAST(len(list_filter(toks, x -> x = '{esc}')) AS {cast_t})"
+        num = f"CAST(CAST({idf} AS {cast_t}) * {tf} * 22 * CAST({n_tokens} AS {cast_t}) AS DOUBLE)"
         den = (
-            f"CAST(10 * {tf} * {n_tokens} + 3 * {n_tokens} "
-            f"+ 9 * dl * {n_docs} AS DOUBLE)"
+            f"CAST(CAST(10 AS {cast_t}) * {tf} * CAST({n_tokens} AS {cast_t}) "
+            f"+ CAST(3 AS {cast_t}) * CAST({n_tokens} AS {cast_t}) "
+            f"+ CAST(9 AS {cast_t}) * CAST(dl AS {cast_t}) * CAST({n_docs} AS {cast_t}) AS DOUBLE)"
         )
         parts.append(f"({num} / {den})")
     score = " + ".join(parts)

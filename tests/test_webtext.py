@@ -569,6 +569,56 @@ def test_ngram_block_cap_star_semantics(spark):
     assert capped == {(1, 2), (1, 3), (1, 4), (10, 11)}
 
 
+def test_bm25_wide_decimal_matches_duckdb_hugeint(spark):
+    """Past the int64 corpus bound (synthetic stats with n_tokens ~ 3e12
+    > 2^40 tokens) bm25_topk auto-widens to decimal(38,0) and must stay
+    BIT-exact vs the DuckDB HUGEINT oracle; the narrow representation
+    agrees with wide wherever it doesn't overflow."""
+    import duckdb
+
+    from insideout_spark.plans import webtext, webtext_sql
+
+    rows = [
+        (1, "hello world hello again"),
+        (2, "hello there"),
+        (3, "world of text with many words here"),
+        (4, "nothing relevant"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ("hello", "world")
+    stats = {
+        "n_docs": 1_000_000_000,
+        "n_tokens": 3_000_000_000_000,
+        "df": {"hello": 7, "world": 11},
+        "idf_q": {"hello": 14_000_000, "world": 9_500_000},
+    }
+    assert webtext.bm25_wide_needed(stats)
+    sdf = webtext.bm25_topk(docs, terms, stats, k=10).toPandas()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    odf = con.execute(webtext_sql.bm25_sql(terms, stats, k=10)).fetchdf()
+    sdf = sdf.sort_values("rank").reset_index(drop=True)
+    odf = odf.sort_values("rank").reset_index(drop=True)
+    assert list(sdf["doc_id"]) == list(odf["doc_id"])
+    assert (sdf["score"].to_numpy() == odf["score"].to_numpy()).all()  # bit-exact
+
+    # narrow/wide agreement where narrow is safe (small synthetic corpus)
+    small_stats = {
+        "n_docs": 100,
+        "n_tokens": 5_000,
+        "df": {"hello": 2, "world": 2},
+        "idf_q": {"hello": 4_000_000, "world": 3_800_000},
+    }
+    assert not webtext.bm25_wide_needed(small_stats)
+    nar = webtext.bm25_topk(docs, terms, small_stats, wide=False).toPandas()
+    wid = webtext.bm25_topk(docs, terms, small_stats, wide=True).toPandas()
+    nar = nar.sort_values("rank").reset_index(drop=True)
+    wid = wid.sort_values("rank").reset_index(drop=True)
+    assert list(nar["doc_id"]) == list(wid["doc_id"])
+    assert (nar["score"].to_numpy() == wid["score"].to_numpy()).all()
+
+
 def test_png_roundtrip_filters_crc_and_multi_idat():
     """decode_png is a real parser: round-trips the generator across
     doc_ids whose per-row filters cover all five types and both RGB
