@@ -944,10 +944,14 @@ def oracle_sql() -> dict[str, str]:
         # v_lo + (v_hi - v_lo) * frac over the sorted array (NOT
         # quantile_cont, whose algebraically-equal formula differs by
         # one ulp on large groups; caught by the derived-sf1 gate)
+        # n counts VALUES (count(value), not count(*)) and vals filters
+        # NULLs — mirrors metrics.value_stats, where collect_list drops
+        # NULLs (DuckDB's list() keeps them)
         "event_value_stats": (
-            "WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "WITH g AS (SELECT event_type, CAST(count(value) AS BIGINT) AS n, "
             "min(value) AS v_min, max(value) AS v_max, "
-            "list_sort(list(value)) AS vals FROM events GROUP BY event_type) "
+            "list_sort(list(value) FILTER (value IS NOT NULL)) AS vals "
+            "FROM events GROUP BY event_type) "
             "SELECT event_type, n, v_min, v_max, "
             + ", ".join(
                 (

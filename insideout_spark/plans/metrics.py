@@ -53,8 +53,12 @@ def value_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     exact-gate path — at true corpus scale swap in approx_percentile
     (the reference's loadtester also keeps all timer samples in
     memory, cmd/loadtester/main.go:93-135)."""
+    # n counts VALUES, not rows (ADVICE r03): collect_list drops NULLs,
+    # so a count(*) n would mis-index the sorted array on NULL-bearing
+    # groups (and DuckDB's list() keeps NULLs — the oracle filters them
+    # for the same reason); min/max ignore NULLs in both engines
     g = df.groupBy(group_col).agg(
-        F.count("*").cast("long").alias("n"),
+        F.count(value_col).cast("long").alias("n"),
         F.min(value_col).alias("v_min"),
         F.max(value_col).alias("v_max"),
         F.sort_array(F.collect_list(value_col)).alias("__vals"),

@@ -47,3 +47,12 @@ def houat_index(spark, houat_loops):
         CoverParams(10, 15, 16),
         warning_cells_cover=100,
     )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running suites (the full driver-gate replica, sf1 "
+        "dir-gated scale gates); deselect with -m 'not slow' for the "
+        "inner loop — CI/driver rounds run everything",
+    )

@@ -11,6 +11,8 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
+pytestmark = pytest.mark.slow
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"

@@ -32,10 +32,13 @@ from insideout_spark.plans.knn import _bump_res_for_density, knn_brute, knn_cell
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(os.path.join(SF1_DIR, "events.parquet")),
-    reason="derived sf1 dir not present (jobs/make_scaled_sf.py)",
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.exists(os.path.join(SF1_DIR, "events.parquet")),
+        reason="derived sf1 dir not present (jobs/make_scaled_sf.py)",
+    ),
+]
 
 
 def _checksum(df):

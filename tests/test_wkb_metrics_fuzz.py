@@ -79,6 +79,20 @@ def test_value_stats(spark):
     assert rows["b"]["p99"] == pytest.approx(97.02)
 
 
+def test_value_stats_null_values(spark):
+    """NULL values must not shift the percentile index (ADVICE r03:
+    collect_list drops NULLs, so n must count values, not rows): a
+    group of 5 values + 3 NULLs indexes the 5-element sorted array."""
+    from insideout_spark.plans.metrics import value_stats
+
+    vals = [("a", v) for v in (10.0, None, 30.0, 20.0, None, 50.0, 40.0, None)]
+    df = spark.createDataFrame(vals, "g string, v double")
+    r = value_stats(df, "g", "v").collect()[0]
+    assert r["n"] == 5
+    assert r["v_min"] == 10.0 and r["v_max"] == 50.0
+    assert r["p50"] == 30.0  # exact middle of the 5 non-null values
+
+
 # ---------------------------------------------------------------------------
 # hypothesis property fuzz (pure kernel, no Spark)
 # ---------------------------------------------------------------------------
