@@ -25,31 +25,78 @@ applies to an ITERATIVE operator too.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# persisted per-iteration label frames of past calls; superseded on the
-# next call or released explicitly (same contract as plans/knn.py)
-_LABEL_CACHES: list = []
+# parquet stats-barrier dirs (freed at interpreter exit; tiny — label
+# tables only)
+_BARRIER_DIRS: list = []
 
 
-def release_component_caches() -> None:
-    while _LABEL_CACHES:
-        _LABEL_CACHES.pop().unpersist()
+def _cleanup_barrier_dirs() -> None:
+    while _BARRIER_DIRS:
+        shutil.rmtree(_BARRIER_DIRS.pop(), ignore_errors=True)
 
+
+atexit.register(_cleanup_barrier_dirs)
+
+# apply a stats barrier every N iterations / recursion levels
+_STATS_BARRIER_EVERY = 8
+
+
+def _stats_barrier(df: DataFrame) -> DataFrame:
+    """Parquet write+read roundtrip — resets Catalyst plan STATISTICS,
+    not just lineage. localCheckpoint truncates the plan but the
+    resulting LogicalRDD INHERITS the original plan's size estimate
+    (originStats), so an iterated self-join squares the estimate every
+    round: the BigInteger digit count doubles per iteration and by
+    round ~15 the driver pins a core multiplying million-digit numbers
+    inside the stats visitor (measured on a 5-ROW table — the blowup is
+    plan-side, data-free, and would hit ANY long-running iterative
+    DataFrame algorithm at 100 TB just the same). A file roundtrip is
+    the supported way to restart from honest file-size stats; label
+    tables are small relative to the corpus, so the barrier cost is a
+    parallel write+read of a slim two-column table every
+    `_STATS_BARRIER_EVERY` rounds."""
+    d = tempfile.mkdtemp(prefix="insideout_cc_barrier_")
+    _BARRIER_DIRS.append(d)
+    path = os.path.join(d, "t.parquet")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 50,
-    auto_release: bool = True,
+    _depth: int = 0,
 ) -> DataFrame:
     """(node, component_id) for every node appearing in `pairs`;
     component_id = min node id in the component. Deterministic,
-    engine-independent fixpoint."""
-    if auto_release:
-        release_component_caches()
+    engine-independent fixpoint.
+
+    Iteration state uses localCheckpoint (lineage truncation), not
+    persist — blocks are freed by the ContextCleaner when the frames
+    are garbage-collected, so there is no cache registry to release
+    (ADVICE r03: the previous release_component_caches was a no-op).
+
+    If the label loop has not converged after `max_iters` rounds, the
+    STAR-CONTRACTION fallback kicks in (VERDICT r03 'Next round' #6):
+    contract the graph by the current labels — every edge becomes
+    (lab(src), lab(dst)), self-loops dropped — and recurse on the
+    strictly smaller contracted graph with a fresh budget, then
+    compose the mappings. Per level the pointer-jumped reach is
+    ~2^max_iters, so a diameter-D graph finishes in
+    O(D / 2^max_iters) contraction levels — with the default budget
+    (50 rounds, reach ~2^50) the fallback is effectively unreachable
+    and exists as the declared escape hatch; tiny budgets (max_iters
+    2-3) exercise it in tests. A contraction that fails to shrink the
+    node count, or depth past 64, raises instead of looping."""
     edges = pairs.select(
         F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
     )
@@ -70,7 +117,9 @@ def connected_components(
         .withColumn("lab", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(int(max_iters)):
+    for _it in range(int(max_iters)):
+        if _it > 0 and _it % _STATS_BARRIER_EVERY == 0:
+            labels = _stats_barrier(labels)
         # step 1: neighbor min — every node takes the min label among
         # itself and its direct neighbors
         prop = edges.join(
@@ -100,9 +149,56 @@ def connected_components(
         if changed == 0:
             break
     else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds — "
-            "pathological long-path graph; use a star-contraction variant"
+        # star-contraction fallback: recurse on the label-contracted
+        # graph (strictly smaller after >=1 merge round), compose maps
+        contracted = (
+            edges.join(
+                labels.select(F.col("node").alias("src"), F.col("lab").alias("__la")),
+                "src",
+            )
+            .join(
+                labels.select(F.col("node").alias("dst"), F.col("lab").alias("__lb")),
+                "dst",
+            )
+            .select(F.col("__la").alias("a"), F.col("__lb").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_now = labels.count()
+        n_contracted = (
+            contracted.select(F.col("a").alias("n"))
+            .unionByName(contracted.select(F.col("b").alias("n")))
+            .distinct()
+            .count()
+        )
+        if n_contracted >= n_now or _depth > 64:
+            raise RuntimeError(
+                f"connected_components stalled: contraction {n_now} -> "
+                f"{n_contracted} nodes at depth {_depth}"
+            )
+        # stats barrier per level: recursion compounds the inherited
+        # originStats through every level's joins otherwise
+        contracted = _stats_barrier(contracted)
+        sub = connected_components(
+            contracted, "a", "b", max_iters=max_iters, _depth=_depth + 1
+        )
+        # eager checkpoint per level: without it the lazily-nested
+        # compose joins accumulate across recursion levels and
+        # Catalyst's size-estimate arithmetic blows up super-linearly
+        # (observed: the driver pinned a core multiplying million-digit
+        # BigIntegers in plan statistics)
+        return (
+            labels.join(
+                sub.select(F.col("node").alias("lab"), "component_id"),
+                "lab",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("component_id", F.col("lab")).alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lab").alias("component_id"))
 
@@ -113,5 +209,5 @@ def dedup_cluster_representatives(
     """One row per duplicate cluster: (component_id == representative
     doc, n_members). Downstream 'keep one per cluster' = anti-join docs
     against members where node != component_id."""
-    cc = connected_components(pairs, a_col, b_col, auto_release=False)
+    cc = connected_components(pairs, a_col, b_col)
     return cc.groupBy("component_id").agg(F.count("*").cast("long").alias("n_members"))
