@@ -156,8 +156,16 @@ def run_headline(spark) -> dict[str, float]:
 
     skew_docs = src_pages.synth_skewed_docs(spark, 5000).cache()
     skew_docs.count()
+    # default path: the 2502-doc block is starred (block_cap=1024)
     q["ngram_jaccard_skew50"] = best_of(
         lambda: _webtext.ngram_jaccard_pairs(skew_docs, threshold=0.3).count()
+    )
+    # uncapped: the size-ratio prefilter + cheap intersections carry
+    # the full quadratic block — the r02 #8 evidence, kept measurable
+    q["ngram_jaccard_skew50_uncapped"] = best_of(
+        lambda: _webtext.ngram_jaccard_pairs(
+            skew_docs, threshold=0.3, block_cap=None
+        ).count()
     )
     skew_docs.unpersist()
 

@@ -342,10 +342,14 @@ def test_ngram_bigram_block_skew_wall_time(spark):
     from insideout_spark.sources.pages import synth_skewed_docs
 
     docs = synth_skewed_docs(spark, 5000)
+    # uncapped: the size-ratio prefilter + cheap intersections carry the
+    # quadratic block; the planted member-member pair is found
     t0 = time.time()
     pairs = {
         (r["doc_a"], r["doc_b"])
-        for r in webtext.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+        for r in webtext.ngram_jaccard_pairs(
+            docs, threshold=0.3, block_cap=None
+        ).collect()
     }
     elapsed = time.time() - t0
     assert (50_000, 50_002) in pairs
@@ -354,6 +358,15 @@ def test_ngram_bigram_block_skew_wall_time(spark):
     # minutes. The bound is deliberately loose — this VM's floor drifts
     # 2-3x between sessions (BASELINE.md), and 90 s flaked at 92 s.
     assert elapsed < 240, elapsed
+    # default cap (1024 < the 2502-doc block): the block is starred to
+    # rep doc 0, whose body matches nobody — the planted member-member
+    # pair is NOT emitted. That's the documented star recall trade
+    # (r04); MinHash is the general near-dup path for capped scales.
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in webtext.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert (50_000, 50_002) not in capped and len(capped) == 0
 
 
 def test_simhash_adversarial_long_token_bounded_memory(spark):
