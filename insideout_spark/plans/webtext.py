@@ -337,6 +337,15 @@ def _register_sig_cache(df: DataFrame, auto_release: bool) -> DataFrame:
         release_signature_caches()
     df = df.cache()
     _SIG_CACHES.append(df)
+    # EAGER materialization: the signature frame has 3+ consumers (band
+    # explode + both pair-side re-attach joins), and broadcast-exchange
+    # subqueries run in separate threads — with a lazily-populated
+    # cache they race it and EACH recomputes the full Python
+    # fingerprint pass (measured: cold simhash_near_dup_pairs 6.5 s vs
+    # a 2 s fingerprint pass; Arrow transport is serialized on this
+    # box, so concurrent duplicate passes stack). One count() up front
+    # guarantees a single pass.
+    df.count()
     return df
 
 
