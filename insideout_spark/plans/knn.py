@@ -57,19 +57,7 @@ def _dist_sq(plat, plng, tlat, tlng):
     return dlat * dlat + dlng * dlng
 
 
-def _ensure_parallel(df: DataFrame, key_col: str) -> DataFrame:
-    """Repartition an under-partitioned point side up to the session's
-    parallelism (VERDICT r03 #1, measured root cause of the knn bench
-    regression: a ~2 MB parquet scan arrives as ONE partition, so the
-    ring join + partial aggregation — the entire hot path — ran as a
-    single 4.6 s task with a 674 MB sort spill while 31 cores idled).
-    One cheap hash shuffle of the slim (id, lat, lng) projection buys
-    full parallelism for every downstream stage. At real scale inputs
-    already have many partitions and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 < target:
-        return df.repartition(target, key_col)
-    return df
+from .util import ensure_parallel as _ensure_parallel  # shared (r04)
 
 
 def knn_brute(

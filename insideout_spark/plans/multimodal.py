@@ -22,6 +22,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import ensure_parallel
+
 try:  # pragma: no cover - not present in this container
     from PIL import Image  # noqa: F401
 
@@ -194,7 +196,7 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return ensure_parallel(docs.select("doc_id"), "doc_id").mapInPandas(
         run, schema="doc_id long, media_type string, payload binary"
     )
 
@@ -316,7 +318,7 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return ensure_parallel(docs.select("doc_id"), "doc_id").mapInPandas(
         run, schema="doc_id long, media_type string, payload binary"
     )
 
@@ -553,7 +555,7 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return ensure_parallel(docs.select("doc_id"), "doc_id").mapInPandas(
         run, schema="doc_id long, media_type string, payload binary"
     )
 

@@ -16,6 +16,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import ensure_parallel
+
 # ---------------------------------------------------------------------------
 # exact dedup (hash groupBy)
 # ---------------------------------------------------------------------------
@@ -283,7 +285,9 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFram
             fps = [int(_shingle_hashes(t, k).min()) for t in pdf[text_col]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "fingerprint": np.array(fps, dtype=np.int64)})
 
-    return docs.select("doc_id", text_col).mapInPandas(run, schema="doc_id long, fingerprint long")
+    return ensure_parallel(docs.select("doc_id", text_col), "doc_id").mapInPandas(
+        run, schema="doc_id long, fingerprint long"
+    )
 
 
 _MINHASH_PERMS = 32
@@ -313,7 +317,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5) -> D
                 sigs.append([int(v) for v in perms.min(axis=1)])
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
 
-    return docs.select("doc_id", text_col).mapInPandas(run, schema="doc_id long, sig array<long>")
+    return ensure_parallel(docs.select("doc_id", text_col), "doc_id").mapInPandas(
+        run, schema="doc_id long, sig array<long>"
+    )
 
 
 # cached per-doc fingerprint/signature frames of past near-dup calls;
@@ -607,7 +613,9 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 {"doc_id": pdf["doc_id"], "simhash": out.view(np.int64)}
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(run, schema="doc_id long, simhash long")
+    return ensure_parallel(docs.select("doc_id", text_col), "doc_id").mapInPandas(
+        run, schema="doc_id long, simhash long"
+    )
 
 
 _SIMHASH_BANDS = 4  # 4 x 16-bit blocks: exact recall for hamming <= 3
