@@ -654,6 +654,18 @@ def _q_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.png_features(mm.synth_png_media(_docs(spark, sf_dir)))
 
 
+def _q_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode (r04): genuine grayscale JFIF bytes
+    (markers, canonical Huffman tables, differential DC, run-length AC
+    with ZRL/EOB, byte stuffing) parsed back by a from-scratch decoder.
+    The entropy layer is lossless, so the oracle replays the quantized-
+    coefficient generator formula; a match gates markers + Huffman +
+    unstuffing + DC prediction + run-length + dequantization. The lossy
+    IDCT pixel path is pytest-gated against a brute cosine-sum
+    reference."""
+    return mm.jpeg_features(mm.synth_jpeg_media(_docs(spark, sf_dir)))
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH
     pair graph (the dedup closer — pairs -> cluster ids -> keep one
@@ -730,6 +742,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_wav_features": _q_audio_wav,
         "image_bmp_features": _q_image_bmp,
         "image_png_features": _q_image_png,
+        "image_jpeg_features": _q_image_jpeg,
     }
 
 
@@ -1069,6 +1082,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_wav_features": mm_sql.audio_features_sql(),
         "image_bmp_features": mm_sql.image_features_sql(),
         "image_png_features": mm_sql.png_features_sql(),
+        "image_jpeg_features": mm_sql.jpeg_features_sql(),
         # IVF: the sampled k-means TRAINING has no SQL form, but the
         # SERVING path does (VERDICT r02 'Next round' #1) — train once
         # from the gate's parquet (driver gate runs at sf0.01), pin the

@@ -203,6 +203,7 @@ def run_headline(spark) -> dict[str, float]:
         "audio_wav_features",
         "image_bmp_features",
         "image_png_features",
+        "image_jpeg_features",
         "emb_near_dup_pairs",
         "dedup_components",
     ):

@@ -4,16 +4,20 @@ mapInPandas stages.
 
 Two tiers:
 
-* JPEG/MP4 need PIL/ffmpeg, absent here — that decode stays STUBBED
-  per the build contract (`_decode_image_real` raises
-  NotImplementedError; the deterministic fake decoder keeps the
+* Only MP4/H.264 video decode stays STUBBED (a codec of that
+  complexity genuinely needs ffmpeg; `_decode_image_real` raises
+  NotImplementedError and the deterministic fake decoder keeps the
   plumbing — schema, batch shape, partitioning — real and tested).
-* Everything else is REAL: RIFF/WAVE PCM16 and BMP24 are byte-level
-  parsers (chunk walk, fmt fields, bottom-up BGR rows, 4-byte padding),
-  and PNG — the one COMPRESSED format decodable with the stdlib — gets
-  a full decoder (`decode_png`: CRC-checked chunk walk, zlib inflate,
-  numpy unfilter over all five filter types). All oracle-gated by
-  replaying the generator formula in DuckDB.
+* Every image/audio format is REAL, zero external libs: RIFF/WAVE
+  PCM16 and BMP24 byte-level parsers (chunk walk, fmt fields,
+  bottom-up BGR rows, 4-byte padding); PNG with stdlib zlib
+  (`decode_png`: CRC-checked chunk walk, inflate, numpy unfilter over
+  all five filter types); and baseline JPEG from scratch
+  (`decode_jpeg`: markers, generic DHT Huffman tables, byte
+  unstuffing, differential DC, run-length AC with ZRL/EOB,
+  dequantization, float64 IDCT). All oracle-gated by replaying the
+  generator formula in DuckDB — for JPEG at the quantized-coefficient
+  layer, which the lossless entropy coding preserves exactly.
 """
 
 from __future__ import annotations
@@ -109,11 +113,12 @@ def extract_media_features(media: DataFrame, use_real_codec: bool = False) -> Da
 # ---------------------------------------------------------------------------
 # REAL decode for uncompressed containers (pure numpy, no codec libs)
 # ---------------------------------------------------------------------------
-# The stub above stands in for codecs this container cannot run (PNG/
-# JPEG/MP4 need PIL/ffmpeg). Uncompressed containers need no external
-# library: RIFF/WAVE PCM16 and BMP24 are header + raw samples, so the
-# decode below is REAL byte-level parsing (chunk walk, fmt fields,
-# bottom-up BGR rows, 4-byte row padding), vectorized per Arrow batch.
+# The stub above stands in for the one codec this container cannot
+# run (MP4/H.264 needs ffmpeg). Uncompressed containers need no
+# external library: RIFF/WAVE PCM16 and BMP24 are header + raw
+# samples, so the decode below is REAL byte-level parsing (chunk walk,
+# fmt fields, bottom-up BGR rows, 4-byte row padding), vectorized per
+# Arrow batch; PNG and baseline JPEG follow further down.
 # The DuckDB oracle replays the sample/pixel GENERATOR FORMULA — never
 # the bytes — so a gate match proves write->parse round-trips the
 # container format correctly (a wrong chunk offset, endianness, row
@@ -597,6 +602,381 @@ def png_features(media: DataFrame) -> DataFrame:
         schema=(
             "doc_id long, width int, height int, channels int, sum_r long, "
             "sum_g long, sum_b long, sum_a long, wsum_r long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG decode (pure python/numpy — no PIL/libjpeg)
+# ---------------------------------------------------------------------------
+# Baseline JFIF needs no external library either: markers, Huffman
+# entropy coding, byte stuffing, differential DC, run-length AC with
+# ZRL/EOB, dequantization, and the 8x8 IDCT are all spec arithmetic.
+# The synth side emits honest grayscale baseline JPEGs whose QUANTIZED
+# DCT COEFFICIENTS come from splitmix64; since the entropy layer is
+# LOSSLESS, the decoder recovers those integers exactly, and the DuckDB
+# oracle replays the coefficient formula — gating the whole marker/
+# Huffman/byte-stuffing/DC-prediction/run-length/dequant pipeline
+# value-exact. The lossy step (IDCT -> pixels) cannot be SQL-gated the
+# same way, so decode_jpeg also produces real pixels which pytest
+# checks against an independent brute-force cosine-sum IDCT.
+
+_JPEG_STREAM = 1 << 29
+
+
+def _zigzag_order() -> np.ndarray:
+    """Standard JPEG zigzag scan: (row, col) for zigzag index 0..63,
+    generated by the diagonal walk (not a hardcoded table)."""
+    order = []
+    for s in range(15):
+        diag = [(s - j, j) for j in range(s + 1) if 0 <= s - j < 8 and 0 <= j < 8]
+        order.extend(diag if s % 2 else diag[::-1])
+    return np.array(order, dtype=np.int64)  # (64, 2)
+
+
+_ZIGZAG = _zigzag_order()
+# quant table by ZIGZAG index: small but non-trivial so a dequant bug
+# shifts every downstream stat
+_JPEG_QUANT = np.array([(k % 7) + 1 for k in range(64)], dtype=np.int64)
+
+
+def _jpeg_dims(doc_id: int):
+    return 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)  # (w, h) multiples of 8
+
+
+def _jpeg_coefs(doc_id: int, n_blocks: int) -> np.ndarray:
+    """(n_blocks, 64) int64 QUANTIZED coefficients in zigzag order:
+    DC in [-3,3]; AC sparse (1-in-4 nonzero), values +-1..3."""
+    idx = (
+        np.uint64(doc_id) * np.uint64(1 << 32)
+        + np.uint64(_JPEG_STREAM)
+        + np.arange(n_blocks * 64, dtype=np.uint64)
+    )
+    h = _splitmix64(idx).reshape(n_blocks, 64)
+    coefs = np.zeros((n_blocks, 64), dtype=np.int64)
+    coefs[:, 0] = (h[:, 0] % np.uint64(7)).astype(np.int64) - 3
+    ac = h[:, 1:]
+    nz = (ac % np.uint64(4)) == 0
+    mag = ((ac >> np.uint64(2)) % np.uint64(3)).astype(np.int64) + 1
+    sign = np.where((ac >> np.uint64(4)) % np.uint64(2) == 0, 1, -1)
+    coefs[:, 1:] = np.where(nz, mag * sign, 0)
+    return coefs
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc, self.nbits = 0, 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _mag_bits(v: int, cat: int) -> int:
+    """JPEG magnitude coding: negatives as value + (2^cat - 1)."""
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+# canonical single-length Huffman alphabets (any VALID table is legal —
+# the decoder builds its tables from the DHT segment generically)
+_DC_SYMBOLS = [0, 1, 2, 3]  # DC diff categories (diff range [-6, 6])
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in (1, 2)
+]  # EOB, ZRL, (run,size)
+
+
+def _canonical_table(symbols: list, length: int):
+    """(bits[17], huffval, {sym: (code, len)}) — all codes `length` bits."""
+    bits = [0] * 17
+    bits[length] = len(symbols)
+    enc = {sym: (i, length) for i, sym in enumerate(symbols)}
+    return bits, list(symbols), enc
+
+
+_DC_BITS, _DC_VALS, _DC_ENC = _canonical_table(_DC_SYMBOLS, 3)
+_AC_BITS, _AC_VALS, _AC_ENC = _canonical_table(_AC_SYMBOLS, 6)
+
+
+def _synth_jpeg_bytes(doc_id: int) -> bytes:
+    """A real grayscale baseline JFIF: SOI/APP0/DQT/SOF0/DHTx2/SOS/EOI,
+    Huffman-coded scan with differential DC, run-length AC (ZRL + EOB),
+    and 0xFF byte stuffing."""
+    import struct
+
+    w, h = _jpeg_dims(doc_id)
+    n_blocks = (w // 8) * (h // 8)
+    coefs = _jpeg_coefs(doc_id, n_blocks)
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for b in range(n_blocks):
+        diff = int(coefs[b, 0]) - prev_dc
+        prev_dc = int(coefs[b, 0])
+        cat = _category(diff)
+        code, ln = _DC_ENC[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(_mag_bits(diff, cat), cat)
+        run = 0
+        for k in range(1, 64):
+            v = int(coefs[b, k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _AC_ENC[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            cat = _category(v)
+            code, ln = _AC_ENC[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(_mag_bits(v, cat), cat)
+            run = 0
+        if run:  # trailing zeros -> EOB
+            code, ln = _AC_ENC[0x00]
+            bw.write(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(int(q) for q in _JPEG_QUANT))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS[1:]) + bytes(_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS[1:]) + bytes(_AC_VALS))
+    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += scan + b"\xff\xd9"  # EOI
+    return out
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _build_huffman(bits: list, vals: list) -> dict:
+    """DHT (BITS, HUFFVAL) -> {(length, code): symbol} per the spec's
+    canonical code construction — handles ANY valid table, not just the
+    single-length ones the synth side writes."""
+    table = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln]):
+            table[(ln, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.read_bit()
+        ln += 1
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """Parse a grayscale baseline JFIF: walk markers, read DQT/SOF0/DHT
+    generically, Huffman-decode the scan (byte unstuffing, differential
+    DC, run-length AC with ZRL/EOB), dequantize. Returns (w, h,
+    dequantized coefficients (n_blocks, 64) int64 in ZIGZAG order,
+    pixels (h, w) uint8 via float64 IDCT + level shift)."""
+    import struct
+
+    b = bytes(payload)
+    if b[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    quant = None
+    w = h = None
+    dc_table = ac_table = None
+    scan = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at {pos}")
+        marker = (b[pos] << 8) | b[pos + 1]
+        if marker == 0xFFD9:
+            break
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        body = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xFFDB:
+            if body[0] & 0xF0:
+                raise ValueError("16-bit quant tables unsupported")
+            quant = np.frombuffer(body[1:65], dtype=np.uint8).astype(np.int64)
+        elif marker == 0xFFC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[0:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError(f"unsupported SOF0: prec={prec} ncomp={ncomp}")
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported for 1-component")
+        elif marker == 0xFFC4:
+            tc, bits = body[0] >> 4, [0] + list(body[1:17])
+            nvals = sum(bits)
+            vals = list(body[17 : 17 + nvals])
+            table = _build_huffman(bits, vals)
+            if tc == 0:
+                dc_table = table
+            else:
+                ac_table = table
+        elif marker == 0xFFDA:
+            # entropy data follows the SOS header until EOI; unstuff
+            raw = b[pos + 2 + seglen :]
+            end = raw.find(b"\xff\xd9")
+            if end < 0:
+                raise ValueError("missing EOI")
+            scan = raw[:end].replace(b"\xff\x00", b"\xff")
+            break
+        pos += 2 + seglen
+    if quant is None or w is None or dc_table is None or ac_table is None or scan is None:
+        raise ValueError("missing DQT/SOF0/DHT/SOS segment")
+
+    n_blocks = (w // 8) * (h // 8)
+    coefs = np.zeros((n_blocks, 64), dtype=np.int64)
+    br = _BitReader(scan)
+    prev_dc = 0
+    for blk in range(n_blocks):
+        cat = _huff_decode(br, dc_table)
+        diff = _extend(br.read(cat), cat) if cat else 0
+        prev_dc += diff
+        coefs[blk, 0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = _huff_decode(br, ac_table)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, cat = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            coefs[blk, k] = _extend(br.read(cat), cat)
+            k += 1
+    deq = coefs * quant[None, :]
+
+    # IDCT: natural-order block matrix, separable basis A[u,x]
+    x = np.arange(8)
+    u = np.arange(8)
+    A = np.cos((2 * x[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    A[0, :] /= np.sqrt(2.0)
+    blocks = np.zeros((n_blocks, 8, 8), dtype=np.float64)
+    blocks[:, _ZIGZAG[:, 0], _ZIGZAG[:, 1]] = deq
+    spatial = np.einsum("ux,buv,vy->bxy", A, blocks, A)
+    px = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
+    bx = w // 8
+    pixels = (
+        px.reshape(h // 8, bx, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+    )
+    return w, h, deq, pixels
+
+
+def synth_jpeg_media(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, media_type, payload) with REAL JPEG bytes."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/jpeg",
+                    "payload": [_synth_jpeg_bytes(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return ensure_parallel(docs.select("doc_id"), "doc_id").mapInPandas(
+        run, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def jpeg_features(media: DataFrame) -> DataFrame:
+    """Decode JPEG payloads and emit exact-integer COEFFICIENT stats —
+    the lossless layer the DuckDB oracle can replay: width/height prove
+    SOF0, sum_dc proves differential-DC reconstruction, n_nonzero_ac
+    proves run-length/ZRL/EOB decode, wsum_coef (zigzag-order weighted)
+    proves coefficient positions, sum_abs_deq proves dequantization.
+    Pixel-level IDCT output is pytest-gated against an independent
+    cosine-sum reference (lossy -> not SQL-replayable)."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "n_blocks": [],
+                "sum_dc": [], "n_nonzero_ac": [], "wsum_coef": [], "sum_abs_deq": [],
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, deq, _px = decode_jpeg(payload)
+                nb = deq.shape[0]
+                flat = deq.reshape(-1)
+                rows["doc_id"].append(int(did))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_blocks"].append(nb)
+                rows["sum_dc"].append(int(deq[:, 0].sum()))
+                rows["n_nonzero_ac"].append(int((deq[:, 1:] != 0).sum()))
+                rows["wsum_coef"].append(
+                    int((np.arange(1, nb * 64 + 1, dtype=np.int64) * flat).sum())
+                )
+                rows["sum_abs_deq"].append(int(np.abs(flat).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, n_blocks int, sum_dc long, "
+            "n_nonzero_ac long, wsum_coef long, sum_abs_deq long"
         ),
     )
 

@@ -78,6 +78,44 @@ def png_features_sql(table: str = "documents") -> str:
     )
 
 
+def jpeg_features_sql(table: str = "documents") -> str:
+    """Oracle for multimodal.jpeg_features over synth_jpeg_media: the
+    entropy layer of baseline JPEG is LOSSLESS, so the decoder recovers
+    the generator's quantized coefficients exactly and this replay of
+    the coefficient formula gates the whole marker/Huffman/byte-
+    stuffing/differential-DC/run-length/dequant pipeline.
+    w = 8*(1+doc%3), h = 8*(1+doc%2), nb = (w/8)*(h/8); per zigzag
+    index k of block b: hv = splitmix64(doc*2^32 + 2^29 + b*64 + k);
+    k=0 -> dc = hv%7 - 3; k>0 -> nonzero iff hv%4==0, value
+    sign((hv//16)%2) * ((hv//4)%3 + 1); dequant multiplies (k%7)+1."""
+    h = splitmix64_sql(
+        f"(CAST(doc_id AS HUGEINT) * {1 << 32} + {1 << 29} + b * 64 + k) % {_TWO64}"
+    )
+    return (
+        f"WITH dims AS (SELECT doc_id, 8 * (1 + doc_id % 3) AS w, "
+        f"8 * (1 + doc_id % 2) AS ht, "
+        f"(1 + doc_id % 3) * (1 + doc_id % 2) AS nb FROM {table}), "
+        "bk AS (SELECT doc_id, w, ht, nb, unnest(range(0, nb)) AS b FROM dims), "
+        "bkk AS (SELECT doc_id, w, ht, nb, b, unnest(range(0, 64)) AS k FROM bk), "
+        f"hv AS (SELECT doc_id, w, ht, nb, b, k, ({h}) AS hv FROM bkk), "
+        "cf AS (SELECT doc_id, w, ht, nb, b, k, "
+        "CASE WHEN k = 0 THEN CAST(hv % 7 AS BIGINT) - 3 "
+        "WHEN hv % 4 = 0 THEN "
+        "(CASE WHEN (hv // 16) % 2 = 0 THEN 1 ELSE -1 END) * "
+        "(CAST((hv // 4) % 3 AS BIGINT) + 1) "
+        "ELSE 0 END AS v FROM hv), "
+        "dq AS (SELECT doc_id, w, ht, nb, b, k, v, v * (k % 7 + 1) AS deq FROM cf) "
+        "SELECT doc_id, CAST(any_value(w) AS INTEGER) AS width, "
+        "CAST(any_value(ht) AS INTEGER) AS height, "
+        "CAST(any_value(nb) AS INTEGER) AS n_blocks, "
+        "CAST(sum(CASE WHEN k = 0 THEN deq ELSE 0 END) AS BIGINT) AS sum_dc, "
+        "CAST(sum(CASE WHEN k > 0 AND deq != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero_ac, "
+        "CAST(sum((b * 64 + k + 1) * deq) AS BIGINT) AS wsum_coef, "
+        "CAST(sum(abs(deq)) AS BIGINT) AS sum_abs_deq "
+        "FROM dq GROUP BY doc_id"
+    )
+
+
 def image_features_sql(table: str = "documents") -> str:
     """Oracle for multimodal.image_features over synth_bmp_media:
     w = 1 + doc_id % 13, h = 1 + doc_id % 7, pixel idx in top-down

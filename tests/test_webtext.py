@@ -680,6 +680,67 @@ def test_png_roundtrip_filters_crc_and_multi_idat():
         mm.decode_png(b"\x89PNX" + b"\x00" * 32)
 
 
+def test_jpeg_roundtrip_coefficients_and_idct():
+    """decode_jpeg is a real baseline decoder: recovers the generator's
+    quantized coefficients exactly (entropy layer is lossless) across
+    docs covering multiple dims/block counts; its IDCT pixels match a
+    brute cosine-sum reference; byte stuffing actually occurs and is
+    unstuffed; a generic multi-length DHT table decodes correctly."""
+    from insideout_spark.plans import multimodal as mm
+
+    stuffed_seen = False
+    for did in range(30):
+        w, h = mm._jpeg_dims(did)
+        nb = (w // 8) * (h // 8)
+        want = mm._jpeg_coefs(did, nb) * mm._JPEG_QUANT[None, :]
+        payload = mm._synth_jpeg_bytes(did)
+        gw, gh, deq, px = mm.decode_jpeg(payload)
+        assert (gw, gh) == (w, h) and (deq == want).all()
+        assert px.shape == (h, w) and px.dtype == np.uint8
+        # look for stuffing inside the scan (0xFF00 outside markers)
+        scan = payload[payload.index(b"\xff\xda") + 14 : -2]
+        stuffed_seen = stuffed_seen or b"\xff\x00" in scan
+    assert stuffed_seen  # the corpus must exercise byte unstuffing
+
+    # IDCT vs brute cosine-sum on one doc
+    did = 7
+    w, h = mm._jpeg_dims(did)
+    nb = (w // 8) * (h // 8)
+    _, _, deq, px = mm.decode_jpeg(mm._synth_jpeg_bytes(did))
+    block = np.zeros((nb, 8, 8))
+    block[:, mm._ZIGZAG[:, 0], mm._ZIGZAG[:, 1]] = deq
+    ref = np.zeros((nb, 8, 8))
+    for b in range(nb):
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * block[b, u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                ref[b, x, y] = s / 4
+    ref_px = np.clip(np.round(ref + 128), 0, 255).astype(np.uint8)
+    ref_img = (
+        ref_px.reshape(h // 8, w // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+    )
+    assert (ref_img == px).all()
+
+    # generic DHT handling: a MIXED-length canonical table (lengths 2/3)
+    # decodes symbols correctly per the spec's code construction
+    table = mm._build_huffman([0, 0, 2, 2] + [0] * 13, [7, 8, 9, 10])
+    # canonical: len2 codes 00,01 -> 7,8; len3 codes 100,101 -> 9,10
+    br = mm._BitReader(bytes([0b00011001, 0b01000000]))
+    assert [mm._huff_decode(br, table) for _ in range(4)] == [7, 8, 9, 10]
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        mm.decode_jpeg(b"\xff\xd9" + b"\x00" * 16)
+
+
 def test_repetition_stats_known_values(spark):
     """Exact Gopher-style repetition counters on a hand-checked corpus,
     including the empty and single-token edge cases."""
