@@ -135,10 +135,12 @@ def connected_components(
         # length-L chain converges in O(log L) rounds instead of O(L)
         # (real near-dup graphs contain long drift chains)
         jump = m.select(F.col("node").alias("__ln"), F.col("lab").alias("__ll"))
+        # lazy checkpoint: the changed-count action right below
+        # materializes it — one job per round instead of two
         new = (
             m.join(jump, m["lab"] == jump["__ln"], "left")
             .select("node", F.least(F.col("lab"), F.coalesce("__ll", "lab")).alias("lab"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.join(labels.select("node", F.col("lab").alias("__old")), "node")
