@@ -666,6 +666,16 @@ def _q_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.jpeg_features(mm.synth_jpeg_media(_docs(spark, sf_dir)))
 
 
+def _q_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4/ISO-BMFF demux (r04): genuine MP4 bytes (box tree,
+    mvhd/mdhd, full stbl sample tables, two-pass stco layout) parsed
+    back by a from-scratch demuxer that resolves every sample to its
+    mdat offset through the stsc/stco chunk runs. The oracle replays
+    the sample-byte formula, so a match proves the frame-extraction
+    layer; only the codec payload decode (H.264) remains ffmpeg-bound."""
+    return mm.video_demux_features(mm.synth_mp4_media(_docs(spark, sf_dir)))
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH
     pair graph (the dedup closer — pairs -> cluster ids -> keep one
@@ -743,6 +753,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_bmp_features": _q_image_bmp,
         "image_png_features": _q_image_png,
         "image_jpeg_features": _q_image_jpeg,
+        "video_demux_features": _q_video_demux,
     }
 
 
@@ -1083,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         "image_bmp_features": mm_sql.image_features_sql(),
         "image_png_features": mm_sql.png_features_sql(),
         "image_jpeg_features": mm_sql.jpeg_features_sql(),
+        "video_demux_features": mm_sql.video_demux_sql(),
         # IVF: the sampled k-means TRAINING has no SQL form, but the
         # SERVING path does (VERDICT r02 'Next round' #1) — train once
         # from the gate's parquet (driver gate runs at sf0.01), pin the

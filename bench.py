@@ -204,6 +204,7 @@ def run_headline(spark) -> dict[str, float]:
         "image_bmp_features",
         "image_png_features",
         "image_jpeg_features",
+        "video_demux_features",
         "emb_near_dup_pairs",
         "dedup_components",
     ):

@@ -116,6 +116,44 @@ def jpeg_features_sql(table: str = "documents") -> str:
     )
 
 
+def video_demux_sql(table: str = "documents") -> str:
+    """Oracle for multimodal.video_demux_features over synth_mp4_media:
+    n = 6 + doc%25, timescale = 600 + (doc%5)*100, duration =
+    sum(10 + i%3), size_i = 16 + splitmix64(doc*2^32 + 3*2^28 + 2^20
+    + i) % 32, byte_ij = splitmix64(doc*2^32 + 3*2^28 + i*2^8 + j) &
+    255. The Spark side goes formula -> real ISO BMFF (two-pass stco
+    layout) -> box-tree walk -> stsc/stco chunk resolution -> sliced
+    sample bytes; this replay proves every sample was extracted from
+    its true mdat offset."""
+    stream = 3 << 28
+    sz = splitmix64_sql(
+        f"(CAST(doc_id AS HUGEINT) * {1 << 32} + {stream} + {1 << 20} + i) % {_TWO64}"
+    )
+    bt = splitmix64_sql(
+        f"(CAST(doc_id AS HUGEINT) * {1 << 32} + {stream} + i * 256 + j) % {_TWO64}"
+    )
+    return (
+        f"WITH dims AS (SELECT doc_id, 6 + doc_id % 25 AS n, "
+        f"600 + (doc_id % 5) * 100 AS ts FROM {table}), "
+        "smp AS (SELECT doc_id, n, ts, unnest(range(0, n)) AS i FROM dims), "
+        f"sz AS (SELECT doc_id, n, ts, i, 16 + CAST(({sz}) % 32 AS BIGINT) AS size_i "
+        "FROM smp), "
+        "by AS (SELECT doc_id, i, size_i, unnest(range(0, size_i)) AS j FROM sz), "
+        f"bv AS (SELECT doc_id, i, j, CAST(({bt}) % 256 AS BIGINT) AS b FROM by), "
+        "bagg AS (SELECT doc_id, CAST(sum((i * 64 + j + 1) * b) AS BIGINT) AS wsum_bytes "
+        "FROM bv GROUP BY doc_id), "
+        "sagg AS (SELECT doc_id, CAST(any_value(ts) AS INTEGER) AS timescale, "
+        "CAST(sum(10 + i % 3) AS BIGINT) AS duration, "
+        "CAST(any_value(n) AS INTEGER) AS n_samples, "
+        "CAST(sum(size_i) AS BIGINT) AS total_bytes, "
+        "CAST(sum((i + 1) * size_i) AS BIGINT) AS wsum_size "
+        "FROM sz GROUP BY doc_id) "
+        "SELECT s.doc_id, s.timescale, s.duration, s.n_samples, "
+        "s.total_bytes, s.wsum_size, b.wsum_bytes "
+        "FROM sagg s JOIN bagg b ON s.doc_id = b.doc_id"
+    )
+
+
 def image_features_sql(table: str = "documents") -> str:
     """Oracle for multimodal.image_features over synth_bmp_media:
     w = 1 + doc_id % 13, h = 1 + doc_id % 7, pixel idx in top-down

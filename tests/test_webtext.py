@@ -741,6 +741,54 @@ def test_jpeg_roundtrip_coefficients_and_idct():
         mm.decode_jpeg(b"\xff\xd9" + b"\x00" * 16)
 
 
+def test_mp4_demux_roundtrip_and_fixed_size_branch():
+    """demux_mp4 is a real ISO BMFF demuxer: every sample slices back
+    byte-identical through the stsc/stco chunk resolution across docs
+    covering 1..14-chunk layouts; the fixed-size stsz branch (which the
+    generator never writes) parses a hand-built file; truncated boxes
+    raise."""
+    import struct
+
+    from insideout_spark.plans import multimodal as mm
+
+    for did in (0, 3, 7, 19, 24, 30):
+        n, ts = mm._mp4_params(did)
+        sizes = mm._mp4_sample_sizes(did, n)
+        gts, gdur, samples = mm.demux_mp4(mm._synth_mp4_bytes(did))
+        assert gts == ts and len(samples) == n
+        assert gdur == sum(10 + (i % 3) for i in range(n))
+        for i, sb in enumerate(samples):
+            assert sb == mm._mp4_sample_bytes(did, i, int(sizes[i]))
+
+    # hand-built file: 4 samples of FIXED size 8, one chunk
+    body = bytes(range(32))
+    ftyp = mm._box(b"ftyp", b"isom\x00\x00\x02\x00")
+    stsd = mm._box(b"stsd", struct.pack(">II", 0, 1) + mm._box(b"fake", b"\x00" * 8))
+    stts = mm._box(b"stts", struct.pack(">IIII", 0, 1, 4, 5))
+    stsz = mm._box(b"stsz", struct.pack(">III", 0, 8, 4))  # fixed=8
+    stsc = mm._box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, 4, 1))
+
+    def build(off):
+        stco = mm._box(b"stco", struct.pack(">III", 0, 1, off))
+        stbl = mm._box(b"stbl", stsd + stts + stsc + stsz + stco)
+        mdhd = mm._box(b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, 1000, 20, 0, 0))
+        hdlr = mm._box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+        mdia = mm._box(b"mdia", mdhd + hdlr + mm._box(b"minf", stbl))
+        trak = mm._box(b"trak", mm._box(b"tkhd", b"\x00" * 84) + mdia)
+        mvhd = mm._box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, 1000, 20) + b"\x00" * 80)
+        return mm._box(b"moov", mvhd + trak)
+
+    probe = build(0)
+    off = len(ftyp) + len(probe) + 8
+    payload = ftyp + build(off) + mm._box(b"mdat", body)
+    ts, dur, samples = mm.demux_mp4(payload)
+    assert ts == 1000 and dur == 20
+    assert [bytes(s) for s in samples] == [body[i * 8 : (i + 1) * 8] for i in range(4)]
+
+    with pytest.raises(ValueError):
+        mm.demux_mp4(payload[:40])  # truncated box tree
+
+
 def test_repetition_stats_known_values(spark):
     """Exact Gopher-style repetition counters on a hand-checked corpus,
     including the empty and single-token edge cases."""
