@@ -676,6 +676,15 @@ def _q_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.video_demux_features(mm.synth_mp4_media(_docs(spark, sf_dir)))
 
 
+def _q_frames_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-5th-frame extraction through the REAL MP4 demux: the gate
+    pins (doc_id, frame_idx, frame_len) per sampled frame — sampling
+    stride + per-frame sizes through the chunk resolution (the frame
+    BYTES are value-gated by video_demux_features' wsum_bytes)."""
+    frames = mm.extract_sampled_frames(mm.synth_mp4_media(_docs(spark, sf_dir)), 5)
+    return frames.select("doc_id", "frame_idx", "frame_len")
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH
     pair graph (the dedup closer — pairs -> cluster ids -> keep one
@@ -754,6 +763,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_png_features": _q_image_png,
         "image_jpeg_features": _q_image_jpeg,
         "video_demux_features": _q_video_demux,
+        "frames_sampled_every5": _q_frames_sampled,
     }
 
 
@@ -1095,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         "image_png_features": mm_sql.png_features_sql(),
         "image_jpeg_features": mm_sql.jpeg_features_sql(),
         "video_demux_features": mm_sql.video_demux_sql(),
+        "frames_sampled_every5": mm_sql.frames_sampled_sql(every_nth=5),
         # IVF: the sampled k-means TRAINING has no SQL form, but the
         # SERVING path does (VERDICT r02 'Next round' #1) — train once
         # from the gate's parquet (driver gate runs at sf0.01), pin the

@@ -205,6 +205,7 @@ def run_headline(spark) -> dict[str, float]:
         "image_png_features",
         "image_jpeg_features",
         "video_demux_features",
+        "frames_sampled_every5",
         "emb_near_dup_pairs",
         "dedup_components",
     ):

@@ -1300,6 +1300,35 @@ def sample_frames(media: DataFrame, every_nth: int = 5) -> DataFrame:
     )
 
 
+def extract_sampled_frames(media: DataFrame, every_nth: int = 5) -> DataFrame:
+    """REAL frame sampling: demux each MP4 payload and emit every
+    `every_nth` sample's actual bytes — (doc_id, frame_idx,
+    frame_bytes, frame_len). This is the extraction stage a video
+    training pipeline feeds to the (ffmpeg-bound) codec decode; the
+    bytes come from the true mdat offsets via the stsc/stco chunk
+    resolution, not from metadata arithmetic like `sample_frames`."""
+    step = int(every_nth)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_len": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, samples = demux_mp4(payload)
+                for i in range(0, len(samples), step):
+                    rows["doc_id"].append(int(did))
+                    rows["frame_idx"].append(i)
+                    rows["frame_bytes"].append(bytes(samples[i]))
+                    rows["frame_len"].append(len(samples[i]))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run,
+        schema="doc_id long, frame_idx int, frame_bytes binary, frame_len int",
+    )
+
+
 def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Resize bookkeeping (target dims preserving aspect) — Catalyst
     arithmetic; the pixel work is the stubbed decode stage."""

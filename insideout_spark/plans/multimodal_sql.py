@@ -154,6 +154,22 @@ def video_demux_sql(table: str = "documents") -> str:
     )
 
 
+def frames_sampled_sql(table: str = "documents", every_nth: int = 5) -> str:
+    """Oracle for the every-nth frame-extraction gate: replay the
+    per-sample size formula for sampled indices (i % n == 0)."""
+    stream = 3 << 28
+    sz = splitmix64_sql(
+        f"(CAST(doc_id AS HUGEINT) * {1 << 32} + {stream} + {1 << 20} + i) % {_TWO64}"
+    )
+    return (
+        f"WITH dims AS (SELECT doc_id, 6 + doc_id % 25 AS n FROM {table}), "
+        "smp AS (SELECT doc_id, unnest(range(0, n)) AS i FROM dims) "
+        "SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, "
+        f"CAST(16 + ({sz}) % 32 AS INTEGER) AS frame_len "
+        f"FROM smp WHERE i % {int(every_nth)} = 0"
+    )
+
+
 def image_features_sql(table: str = "documents") -> str:
     """Oracle for multimodal.image_features over synth_bmp_media:
     w = 1 + doc_id % 13, h = 1 + doc_id % 7, pixel idx in top-down

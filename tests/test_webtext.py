@@ -789,6 +789,27 @@ def test_mp4_demux_roundtrip_and_fixed_size_branch():
         mm.demux_mp4(payload[:40])  # truncated box tree
 
 
+def test_extract_sampled_frames_real_bytes(spark):
+    """extract_sampled_frames returns the TRUE mdat bytes of every 5th
+    sample (not metadata arithmetic) — compared against the generator
+    formula per frame."""
+    from insideout_spark.plans import multimodal as mm
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    got = {
+        (r["doc_id"], r["frame_idx"]): (bytes(r["frame_bytes"]), r["frame_len"])
+        for r in mm.extract_sampled_frames(mm.synth_mp4_media(docs), 5).collect()
+    }
+    want = {}
+    for did in range(12):
+        n, _ = mm._mp4_params(did)
+        sizes = mm._mp4_sample_sizes(did, n)
+        for i in range(0, n, 5):
+            b = mm._mp4_sample_bytes(did, i, int(sizes[i]))
+            want[(did, i)] = (b, len(b))
+    assert got == want and len(got) > 12
+
+
 def test_repetition_stats_known_values(spark):
     """Exact Gopher-style repetition counters on a hand-checked corpus,
     including the empty and single-token edge cases."""
