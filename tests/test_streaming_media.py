@@ -47,6 +47,23 @@ def test_streaming_jpeg_decode_matches_batch(spark, tmp_path):
     assert got2 == want_all and len(got2) == 70  # no re-emits, no gaps
 
 
+def test_streaming_mp4_demux_matches_batch(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    write_media_drop(mm.synth_mp4_media(docs), in_dir, "d1")
+    q = run_decode_stream(
+        stream_media(spark, in_dir + "/*"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        mm.video_demux_features,
+    )
+    q.awaitTermination(180)
+    got = _rows(spark, spark.read.parquet(str(tmp_path / "out")))
+    want = _rows(spark, mm.video_demux_features(mm.synth_mp4_media(docs)))
+    assert got == want and len(got) == 20
+
+
 def test_streaming_png_decode_matches_batch(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     os.makedirs(in_dir)
