@@ -111,11 +111,13 @@ def connected_components(
     # lineage each round keeps plans O(1). (Checkpoint blocks are freed
     # by the ContextCleaner when the frames are garbage-collected.)
     edges = edges.localCheckpoint(eager=True)
+    # no checkpoint for the seed labels: the plan is two ops over the
+    # already-checkpointed edges, and round 1 replaces it — skipping
+    # the eager materialization saves one driver action per call
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lab", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _it in range(int(max_iters)):
         if _it > 0 and _it % _STATS_BARRIER_EVERY == 0:
