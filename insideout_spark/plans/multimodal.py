@@ -627,11 +627,18 @@ _JPEG_STREAM = 1 << 29
 
 def _zigzag_order() -> np.ndarray:
     """Standard JPEG zigzag scan: (row, col) for zigzag index 0..63,
-    generated by the diagonal walk (not a hardcoded table)."""
+    generated by the diagonal walk (not a hardcoded table).
+
+    Spec orientation (ITU T.81 Fig. 5): the walk starts (0,0) -> (0,1)
+    -> (1,0) -> (2,0) -> ..., i.e. ODD anti-diagonals run upward
+    (row decreasing), EVEN ones downward. `diag` below is generated
+    row-DESCENDING, so odd diagonals are the ones that get reversed —
+    pinned against the canonical 0,1,8,16,9,2,... flat table in
+    tests/test_webtext.py."""
     order = []
     for s in range(15):
         diag = [(s - j, j) for j in range(s + 1) if 0 <= s - j < 8 and 0 <= j < 8]
-        order.extend(diag if s % 2 else diag[::-1])
+        order.extend(diag[::-1] if s % 2 else diag)
     return np.array(order, dtype=np.int64)  # (64, 2)
 
 
@@ -1174,6 +1181,12 @@ def demux_mp4(payload: bytes):
             raise ValueError(f"missing {need}")
 
     s, e = boxes["/moov/trak/mdia/mdhd"]
+    mdhd_version = b[s]
+    if mdhd_version != 0:
+        # v1 mdhd carries 64-bit creation/modification/duration; parsing
+        # it with the v0 layout would yield a garbage timescale, so fail
+        # loudly like the other unsupported shapes (e.g. missing stco).
+        raise ValueError(f"unsupported mdhd version {mdhd_version} (only v0)")
     _, _, _, timescale, duration = struct.unpack(">IIIII", b[s : s + 20])
 
     s, e = boxes[f"{stbl}/stts"]

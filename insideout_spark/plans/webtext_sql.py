@@ -115,12 +115,16 @@ def capped_pairs_sql(
     a_name: str,
     b_name: str,
     bucket_cap: int | None,
+    order_cte: str | None = None,
 ) -> str:
     """SQL twin of webtext._capped_bucket_pairs: candidate pairs from a
-    bucket self-join where buckets over `bucket_cap` emit a star to
-    their min-id representative instead of the full clique. Mirroring
-    the cap in the oracle means the driver gate exercises the cap LOGIC
-    itself (not just 'cap never fires at gate scale')."""
+    bucket self-join where buckets over `bucket_cap` emit a
+    sorted-neighborhood CHAIN — consecutive members in (__ord, id)
+    order — instead of the full clique (VERDICT r04 #4; was a min-id
+    star through r04). `order_cte` names a CTE providing
+    ({id_col}, __ord); omitted, the chain orders by id alone.
+    Mirroring the cap in the oracle means the driver gate exercises
+    the cap LOGIC itself (not just 'cap never fires at gate scale')."""
     keys = " AND ".join(f"l.{c} = r.{c}" for c in key_cols)
     if bucket_cap is None:
         return (
@@ -130,19 +134,28 @@ def capped_pairs_sql(
         )
     gkeys = ", ".join(key_cols)
     skeys = " AND ".join(f"s.{c} = x.{c}" for c in key_cols)
+    stats = f"(SELECT {gkeys}, count(*) AS __bn FROM {bands_cte} GROUP BY {gkeys})"
+    part = ", ".join(f"x.{c}" for c in key_cols)
+    if order_cte is not None:
+        ord_join = f" JOIN {order_cte} o ON o.{id_col} = x.{id_col}"
+        ord_by = f"o.__ord, x.{id_col}"
+    else:
+        ord_join = ""
+        ord_by = f"x.{id_col}"
     return (
         "SELECT DISTINCT * FROM ("
         f"SELECT l.{id_col} AS {a_name}, r.{id_col} AS {b_name} "
-        f"FROM (SELECT x.*, s.__bn FROM {bands_cte} x JOIN "
-        f"(SELECT {gkeys}, count(*) AS __bn FROM {bands_cte} GROUP BY {gkeys}) s ON {skeys}) l "
+        f"FROM (SELECT x.*, s.__bn FROM {bands_cte} x JOIN {stats} s ON {skeys}) l "
         f"JOIN {bands_cte} r ON {keys} AND l.{id_col} < r.{id_col} "
         f"WHERE l.__bn <= {int(bucket_cap)} "
         "UNION ALL "
-        f"SELECT s.__rep AS {a_name}, x.{id_col} AS {b_name} "
-        f"FROM {bands_cte} x JOIN "
-        f"(SELECT {gkeys}, count(*) AS __bn, min({id_col}) AS __rep "
-        f"FROM {bands_cte} GROUP BY {gkeys}) s ON {skeys} "
-        f"WHERE s.__bn > {int(bucket_cap)} AND x.{id_col} != s.__rep)"
+        f"SELECT least(__prev, {id_col}) AS {a_name}, "
+        f"greatest(__prev, {id_col}) AS {b_name} FROM ("
+        f"SELECT x.{id_col} AS {id_col}, "
+        f"lag(x.{id_col}) OVER (PARTITION BY {part} ORDER BY {ord_by}) AS __prev "
+        f"FROM {bands_cte} x JOIN {stats} s ON {skeys}{ord_join} "
+        f"WHERE s.__bn > {int(bucket_cap)}"
+        ") WHERE __prev IS NOT NULL)"
     )
 
 
@@ -154,7 +167,7 @@ def minhash_pairs_sql(
 ) -> str:
     """Oracle for webtext.minhash_lsh_pairs: identical signatures (32
     perms mod 2^31-1 over the shingle hashes), identical banding (raw
-    4-tuple keys), identical bucket-cap star semantics, exact
+    4-tuple keys), identical bucket-cap chain semantics, exact
     est_jaccard."""
     a, b = webtext._minhash_params()
     perms = ", ".join(
@@ -167,13 +180,19 @@ def minhash_pairs_sql(
         f"CAST(sig[{rpb} * band + {j + 1}] AS VARCHAR)" for j in range(rpb)
     )
     pairs = capped_pairs_sql(
-        "bands", ("band", "bh"), "doc_id", "doc_a", "doc_b", bucket_cap
+        "bands", ("band", "bh"), "doc_id", "doc_a", "doc_b", bucket_cap,
+        order_cte="ordk",
     )
     return (
         f"WITH sh AS (SELECT doc_id, {shingle_hash_list_sql('text', k)} AS hs FROM {table}), "
         f"sig AS (SELECT doc_id, [{perms}] AS sig FROM sh), "
         f"bands AS (SELECT doc_id, band, {key} AS bh "
         f"FROM sig, (VALUES {band_rows}) AS bt(band)), "
+        # chain order key: the FULL signature string (same concat as
+        # Spark's concat_ws('_', sig...); ordering is what matters and
+        # the strings are identical cross-engine)
+        "ordk AS (SELECT doc_id, array_to_string("
+        "list_transform(sig, v -> CAST(v AS VARCHAR)), '_') AS __ord FROM sig), "
         f"pairs AS ({pairs}), "
         "est AS (SELECT p.doc_a, p.doc_b, "
         "CAST(list_sum(list_transform(range(1, 33), i -> "
@@ -193,14 +212,15 @@ def simhash_pairs_sql(
     """Oracle for webtext.simhash_near_dup_pairs: identical fingerprints
     (simhash_sql as a CTE), identical 4 x 16-bit block banding (unsigned
     reinterpretation of the signed int64, then divide/modulo — the SQL
-    twin of shiftrightunsigned + mask), identical bucket-cap star
+    twin of shiftrightunsigned + mask), identical bucket-cap chain
     semantics, exact bit_count(xor) Hamming rescoring."""
     divisors = ", ".join(
         f"({i}, CAST({1 << (16 * i)} AS HUGEINT))"
         for i in range(webtext._SIMHASH_BANDS)
     )
     pairs = capped_pairs_sql(
-        "bands", ("band", "bv"), "doc_id", "doc_a", "doc_b", bucket_cap
+        "bands", ("band", "bv"), "doc_id", "doc_a", "doc_b", bucket_cap,
+        order_cte="ordk",
     )
     return (
         f"WITH sh AS ({simhash_sql(table)}), "
@@ -208,6 +228,9 @@ def simhash_pairs_sql(
         f"THEN simhash + {_TWO64} ELSE simhash END AS HUGEINT) AS u FROM sh), "
         "bands AS (SELECT doc_id, band, CAST((u // dv) % 65536 AS BIGINT) AS bv "
         f"FROM u, (VALUES {divisors}) AS bt(band, dv)), "
+        # chain order key: the SIGNED 64-bit fingerprint, matching the
+        # Spark side's order_df exactly
+        "ordk AS (SELECT doc_id, simhash AS __ord FROM sh), "
         f"pairs AS ({pairs}) "
         "SELECT p.doc_a, p.doc_b, "
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
@@ -224,9 +247,9 @@ def ngram_pairs_sql(
     block_cap: int | None = 1024,
 ) -> str:
     """Oracle for webtext.ngram_jaccard_pairs: same opening-bigram
-    block key, same distinct n-gram sets, same block-cap star
-    semantics (blocks over the cap pair members with their min-id
-    representative only), exact Jaccard."""
+    block key, same distinct n-gram sets, same block-cap chain
+    semantics (blocks over the cap pair CONSECUTIVE members in
+    (|grams|, doc_id) order), exact Jaccard."""
     sizef = (
         "least(CAST(len(p.ga) AS DOUBLE), CAST(len(p.gb) AS DOUBLE)) >= "
         f"{threshold}e0 * greatest(CAST(len(p.ga) AS DOUBLE), CAST(len(p.gb) AS DOUBLE))"
@@ -246,18 +269,23 @@ def ngram_pairs_sql(
         )
     else:
         pairs = (
-            "s AS (SELECT block, count(*) AS __bn, min(doc_id) AS __rep "
-            "FROM g GROUP BY block), "
+            "s AS (SELECT block, count(*) AS __bn FROM g GROUP BY block), "
+            "ch AS (SELECT x.doc_id, x.grams, "
+            "lag(x.doc_id) OVER w AS pid, lag(x.grams) OVER w AS pg "
+            "FROM g x JOIN s ON x.block = s.block "
+            f"WHERE s.__bn > {int(block_cap)} "
+            "WINDOW w AS (PARTITION BY x.block ORDER BY len(x.grams), x.doc_id)), "
             "p AS ("
             "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.grams AS ga, b.grams AS gb "
             "FROM g a JOIN s ON a.block = s.block "
             f"AND s.__bn <= {int(block_cap)} "
             "JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id "
             "UNION ALL "
-            "SELECT s.__rep AS doc_a, x.doc_id AS doc_b, ra.grams AS ga, x.grams AS gb "
-            "FROM g x JOIN s ON x.block = s.block "
-            f"AND s.__bn > {int(block_cap)} AND x.doc_id != s.__rep "
-            "JOIN g ra ON ra.doc_id = s.__rep) "
+            "SELECT CASE WHEN pid < doc_id THEN pid ELSE doc_id END AS doc_a, "
+            "CASE WHEN pid < doc_id THEN doc_id ELSE pid END AS doc_b, "
+            "CASE WHEN pid < doc_id THEN pg ELSE grams END AS ga, "
+            "CASE WHEN pid < doc_id THEN grams ELSE pg END AS gb "
+            "FROM ch WHERE pid IS NOT NULL) "
         )
     return (
         base
@@ -386,7 +414,8 @@ def embedding_near_dup_sql(
     bucket_cap: int | None = 1024,
 ) -> str:
     """Oracle for webtext.embedding_near_dup_pairs: same literal
-    hyperplanes / bucket bits / star-capped pair join / rounded cosine."""
+    hyperplanes / bucket bits / chain-capped pair join (id-ordered,
+    matching the Spark side) / rounded cosine."""
     planes = webtext.lsh_planes(n_tables, n_planes, dim)
     selects = []
     for t in range(n_tables):

@@ -90,18 +90,24 @@ def main() -> None:
     out["r3_current"] = timed(
         lambda: knn_r3.knn_cell_join(pts, tgt, 3, id_col="point_id",
                                      target_id_col="target_id").count())
+    # knn_cell_join calls _probe_density DIRECTLY (not through
+    # _bump_res_for_density), so the probe's mean occupancy must come
+    # from a real measurement once, then be replayed as a constant
+    mean_occ_bumped = knn_r3._probe_density(tgt, res_bumped, 3)[1]
+
     def _no_bump():
         # knn_cell_join re-probes even with an explicit res (one probe
-        # when already bumped); patch it out so this variant times the
-        # join plan alone, probes fully excluded
-        orig = knn_r3._bump_res_for_density
-        knn_r3._bump_res_for_density = lambda t, r, k: r
+        # when already bumped); patch _probe_density itself (ADVICE r04:
+        # patching _bump_res_for_density was a no-op) so this variant
+        # times the join plan alone, probes fully excluded
+        orig = knn_r3._probe_density
+        knn_r3._probe_density = lambda t, r, k, w=2: (r, mean_occ_bumped)
         try:
             knn_r3.knn_cell_join(pts, tgt, 3, res=res_bumped,
                                  id_col="point_id",
                                  target_id_col="target_id").count()
         finally:
-            knn_r3._bump_res_for_density = orig
+            knn_r3._probe_density = orig
 
     out["r3_no_bump"] = timed(_no_bump)
     out["r2_plan"] = timed(

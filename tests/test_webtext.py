@@ -258,13 +258,35 @@ def _near_dup_cluster_rows(n_cluster: int, n_random: int, seed: int = 23):
     return rows
 
 
+def _components_of(pairs, nodes):
+    """Tiny union-find over a pair set — test-side cluster comparison."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for n in parent:
+        out.setdefault(find(n), set()).add(n)
+    return {frozenset(v) for v in out.values()}
+
+
 def test_lsh_bucket_cap_bounds_near_dup_cluster_skew(spark):
     """VERDICT r02 'What's wrong' #1: a 5,000-doc near-identical cluster
     (NOT exact dups, so upstream exact dedup can't remove it) lands in
     one bucket per band; uncapped, that's ~12.5M candidate pairs per
-    band. With the star cap the candidate count is bounded linear, the
-    run completes fast, and the cluster is still found (every member
-    pairs with the representative)."""
+    band. With the chain cap the candidate count is bounded linear, the
+    run completes fast, and the cluster stays CONNECTED (one component
+    over the emitted pairs)."""
     import time
 
     docs = spark.createDataFrame(
@@ -274,11 +296,13 @@ def test_lsh_bucket_cap_bounds_near_dup_cluster_skew(spark):
     pairs = webtext.minhash_lsh_pairs(docs, threshold=0.5, bucket_cap=64).collect()
     elapsed = time.time() - t0
     got = {(r["doc_a"], r["doc_b"]) for r in pairs}
-    # bounded: star emits <= (bands x cluster) pairs, never the clique
+    # bounded: chain emits <= (bands x cluster) pairs, never the clique
     assert len(got) <= 8 * 5000 + 1000, len(got)
-    # the cluster is still found: members pair with the min-id rep
-    rep_pairs = {b for (a, b) in got if a == 0}
-    assert len(rep_pairs) >= 4500, len(rep_pairs)
+    # the cluster is still found AND connected: near-identical members
+    # sort adjacent by signature, so chain edges pass the threshold
+    comps = _components_of(got, set(range(5000)))
+    biggest = max(comps, key=len)
+    assert len(biggest) >= 4500, len(biggest)
     # no random doc joins the cluster
     assert not any(a >= 10_000 or b >= 10_000 for (a, b) in got)
     assert elapsed < 120, elapsed
@@ -305,12 +329,12 @@ def test_lsh_bucket_cap_bounds_near_dup_cluster_skew(spark):
     assert stats["clique_pairs_saved"] > 1_000_000
 
 
-def test_capped_pairs_match_duckdb_star_oracle(spark):
-    """The star-cap semantics are themselves oracle-gated: at a LOW cap
+def test_capped_pairs_match_duckdb_chain_oracle(spark):
+    """The chain-cap semantics are themselves oracle-gated: at a LOW cap
     (8) on a 200-doc near-dup cluster, Spark's capped pair set (clique
-    under the cap, star over it) must equal the generated DuckDB SQL
-    bit-for-bit — the driver-gate mechanism exercising the cap LOGIC,
-    not just 'cap never fires'."""
+    under the cap, signature-ordered chain over it) must equal the
+    generated DuckDB SQL bit-for-bit — the driver-gate mechanism
+    exercising the cap LOGIC, not just 'cap never fires'."""
     import duckdb
     import pandas as pd
 
@@ -446,17 +470,19 @@ def test_simhash_pairs_exact_recall_vs_brute(spark, dup_docs):
     assert (100, 103, 0) in got
 
 
-def test_simhash_pairs_bucket_cap_star(spark):
+def test_simhash_pairs_bucket_cap_chain(spark):
     """A near-identical cluster under a tiny bucket cap collapses to a
-    star on the min-id representative: every member still connects to
-    the cluster, and the pair count is linear, not quadratic."""
+    sorted-neighborhood chain (consecutive members in fingerprint-then-
+    id order): every member still connects to the cluster, and the pair
+    count is linear, not quadratic."""
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
     rows = [(i, base) for i in range(20)]  # identical => identical simhash
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = webtext.simhash_near_dup_pairs(df, bucket_cap=5).collect()
     got = {(r["doc_a"], r["doc_b"]) for r in pairs}
-    # star: 19 pairs all anchored at doc 0, not C(20,2)=190
-    assert got == {(0, b) for b in range(1, 20)}
+    # chain: 19 consecutive pairs (fingerprints tie -> id order), not
+    # C(20,2)=190
+    assert got == {(b, b + 1) for b in range(19)}
     assert all(r["hamming"] == 0 for r in pairs)
 
 
@@ -554,9 +580,9 @@ def test_minhash_saved_signatures_roundtrip(spark, tmp_path):
     assert webtext._SIG_CACHES == []
 
 
-def test_ngram_block_cap_star_semantics(spark):
-    """Blocks over block_cap pair members with the min-id representative
-    only; sub-cap blocks keep the exact clique (hand-checked corpus)."""
+def test_ngram_block_cap_chain_semantics(spark):
+    """Blocks over block_cap pair CONSECUTIVE members in (|grams|, id)
+    order; sub-cap blocks keep the exact clique (hand-checked corpus)."""
     from insideout_spark.plans import webtext
 
     rows = [
@@ -578,8 +604,46 @@ def test_ngram_block_cap_star_semantics(spark):
         (r["doc_a"], r["doc_b"])
         for r in webtext.ngram_jaccard_pairs(docs, threshold=0.5, block_cap=3).collect()
     }
-    # big block -> star to rep=1; 2-doc block under cap -> clique kept
-    assert capped == {(1, 2), (1, 3), (1, 4), (10, 11)}
+    # big block -> chain 1-2-3-4 (sizes tie -> id order); 2-doc block
+    # under cap -> clique kept
+    assert capped == {(1, 2), (2, 3), (3, 4), (10, 11)}
+
+
+def test_chain_cap_preserves_clusters_star_would_split(spark):
+    """VERDICT r04 'Next round' #4 done-criterion: a capped block whose
+    min-id representative FAILS the similarity threshold against far
+    members, while consecutive members pass — the r02-r04 star would
+    split the cluster; the chain must keep components identical with
+    and without the cap."""
+    from insideout_spark.plans import webtext
+
+    # sliding-window docs in ONE block ('x y' opening bigram): doc i
+    # covers tokens [8i, 8i+30) — consecutive docs overlap 22 tokens
+    # (Jaccard ~ 0.57 > 0.5), doc 1 vs doc 5 overlap 0 (Jaccard 0)
+    toks = [f"t{j}" for j in range(80)]
+    rows = [
+        (i, "x y " + " ".join(toks[8 * (i - 1): 8 * (i - 1) + 30]))
+        for i in range(1, 6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def comps(block_cap):
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in webtext.ngram_jaccard_pairs(
+                docs, threshold=0.5, block_cap=block_cap
+            ).collect()
+        }
+        return pairs, _components_of(pairs, {1, 2, 3, 4, 5})
+
+    unc_pairs, unc_comps = comps(None)
+    cap_pairs, cap_comps = comps(3)
+    # the value-gate premise: rep(1)-far(5) fails, consecutive pass
+    assert (1, 2) in unc_pairs and (1, 5) not in unc_pairs
+    # star semantics would emit only rep pairs {(1,i)} of which the
+    # far ones fail -> {1,2},{1,3}?,... split; chain keeps the path
+    assert cap_pairs == {(1, 2), (2, 3), (3, 4), (4, 5)}
+    assert cap_comps == unc_comps == {frozenset({1, 2, 3, 4, 5})}
 
 
 def test_bm25_wide_decimal_matches_duckdb_hugeint(spark):
@@ -739,6 +803,47 @@ def test_jpeg_roundtrip_coefficients_and_idct():
 
     with pytest.raises(ValueError, match="not a JPEG"):
         mm.decode_jpeg(b"\xff\xd9" + b"\x00" * 16)
+
+
+def test_zigzag_is_the_spec_table():
+    """Pin _ZIGZAG to the canonical ITU T.81 scan (not its transpose):
+    index 1 must be (0,1) and the flat row*8+col sequence must start
+    0,1,8,16,9,2,3,10,17,24,... A transposed table would keep every
+    internal encoder/decoder round trip green while misplacing AC
+    coefficients of any spec-compliant external JPEG."""
+    from insideout_spark.plans import multimodal as mm
+
+    flat = (mm._ZIGZAG[:, 0] * 8 + mm._ZIGZAG[:, 1]).tolist()
+    # canonical zigzag table, ITU T.81 Figure 5 (flat row-major index)
+    spec = [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert len(spec) == 64 and sorted(spec) == list(range(64))
+    assert tuple(mm._ZIGZAG[1]) == (0, 1)
+    assert flat == spec
+
+
+def test_mp4_demux_rejects_mdhd_v1():
+    """A version-1 mdhd (64-bit times) must raise, not silently parse
+    the v0 layout into a garbage timescale."""
+    import struct
+
+    from insideout_spark.plans import multimodal as mm
+
+    payload = bytearray(mm._synth_mp4_bytes(3))
+    boxes: dict = {}
+    mm._walk_boxes(bytes(payload), 0, len(payload), boxes)
+    s, _ = boxes["/moov/trak/mdia/mdhd"]
+    payload[s] = 1  # flip version byte to 1
+    with pytest.raises(ValueError, match="mdhd version 1"):
+        mm.demux_mp4(bytes(payload))
 
 
 def test_mp4_demux_roundtrip_and_fixed_size_branch():
