@@ -57,6 +57,30 @@ def stab_sql(lng: float, lat: float, table: str = "france") -> str:
     )
 
 
+def stab_union_sql(points, table: str = "france") -> str:
+    """The exact SQL text stab_postgis pushes down — one UNION ALL
+    branch per point, each the reference's ST_Contains shape. Pure
+    (no JDBC), so the statement itself is executable against any
+    engine that provides the three ST_ functions: the integration shim
+    (tests/test_postgis_shim.py) runs it in DuckDB with ST_Contains
+    backed by this repo's exact PIP kernel and matches pip_join rows
+    on the golden fixture — the runtime gate for the one strategy the
+    sandbox cannot execute over real JDBC."""
+    table = _check_table(table)
+    points = list(points)
+    if len(points) > MAX_STAB_POINTS:
+        raise ValueError(
+            f"stab_postgis takes at most {MAX_STAB_POINTS} points per call "
+            f"(got {len(points)}): batch the calls or use pip_join"
+        )
+    return " UNION ALL ".join(
+        f"SELECT {int(i)} AS point_id, ogc_fid FROM {table} "  # noqa: S608
+        "WHERE ST_Contains(geom, "
+        f"ST_SetSRID(ST_MakePoint({float(lng)!r}, {float(lat)!r}), 4326))"
+        for i, (lng, lat) in enumerate(points)
+    )
+
+
 def read_postgis(
     spark: SparkSession,
     jdbc_url: str,
@@ -98,19 +122,7 @@ def stab_postgis(
             "PostGIS stab requires the PostgreSQL JDBC driver jar; "
             "use pip_join (the native dual-cover stab) in this environment"
         )
-    table = _check_table(table)
-    points = list(points)
-    if len(points) > MAX_STAB_POINTS:
-        raise ValueError(
-            f"stab_postgis takes at most {MAX_STAB_POINTS} points per call "
-            f"(got {len(points)}): batch the calls or use pip_join"
-        )
-    union_sql = " UNION ALL ".join(
-        f"SELECT {int(i)} AS point_id, ogc_fid FROM {table} "  # noqa: S608
-        "WHERE ST_Contains(geom, "
-        f"ST_SetSRID(ST_MakePoint({float(lng)!r}, {float(lat)!r}), 4326))"
-        for i, (lng, lat) in enumerate(points)
-    )
+    union_sql = stab_union_sql(points, table)
     reader = (
         spark.read.format("jdbc")
         .option("url", jdbc_url)

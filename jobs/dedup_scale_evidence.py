@@ -1,0 +1,109 @@
+"""Dedup-family scale evidence (VERDICT r04 'Next round' #6): extend
+the sf10 (100x driver data) evidence from the flagship/assign queries
+to the near-dup operators — minhash_lsh_pairs, simhash_near_dup_pairs,
+dedup_components — where the bucket caps and the CC stats barrier earn
+their keep.
+
+Corpus shape note (why walls, not pair counts, are the linearity
+check): make_scaled_sf replicates each base doc `factor` times as
+NEAR-duplicates, so the TRUE near-dup cluster size grows with the
+factor and the uncapped pair count grows QUADRATICALLY in it by
+construction — 100x data genuinely contains ~100x^2 true pairs. The
+scale mechanism under test is the bucket cap: with clusters (~factor
+docs) above the cap, capped buckets emit sorted-neighborhood chains
+and the candidate count stays LINEAR in corpus size. This job runs
+each op at factor 10 (50k docs) and factor 100 (500k docs) with
+bucket_cap=32 (below both cluster sizes, so the cap is ACTIVE at both
+scales and the comparison is like-for-like) and records walls + row
+counts for BASELINE.md.
+
+Usage: python jobs/dedup_scale_evidence.py [src_sf_dir]
+         (default /root/testdata/sf0.1; derived docs cached in
+          /tmp/dedup_scale_f{N}/documents.parquet)
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from jobs.make_scaled_sf import domain_offsets, scale_table  # noqa: E402
+from insideout_spark.plans import webtext  # noqa: E402
+from insideout_spark.plans.components import connected_components  # noqa: E402
+from insideout_spark.session import get_spark  # noqa: E402
+
+CAP = 32
+FACTORS = (10, 100)
+
+
+def _derive_docs(src_dir: str, factor: int) -> str:
+    dst_dir = f"/tmp/dedup_scale_f{factor}"
+    dst = os.path.join(dst_dir, "documents.parquet")
+    if os.path.exists(dst):
+        return dst
+    os.makedirs(dst_dir, exist_ok=True)
+    con = duckdb.connect()
+    offsets = domain_offsets(con, src_dir)
+    scale_table(con, os.path.join(src_dir, "documents.parquet"), dst, factor, offsets)
+    return dst
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return round(time.time() - t0, 2), out
+
+
+def main() -> None:
+    src_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("dedup-scale", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"src": src_dir, "cpus": cpus, "bucket_cap": CAP}
+
+    for factor in FACTORS:
+        docs_path = _derive_docs(src_dir, factor)
+        docs = spark.read.parquet(docs_path).cache()
+        n = docs.count()
+        r: dict = {"n_docs": n}
+
+        webtext.release_signature_caches()
+        r["minhash_wall"], r["minhash_rows"] = timed(
+            lambda: webtext.minhash_lsh_pairs(
+                docs, threshold=0.35, bucket_cap=CAP
+            ).count()
+        )
+        webtext.release_signature_caches()
+        r["simhash_wall"], r["simhash_rows"] = timed(
+            lambda: webtext.simhash_near_dup_pairs(docs, bucket_cap=CAP).count()
+        )
+        webtext.release_signature_caches()
+        r["cc_wall"], r["cc_rows"] = timed(
+            lambda: connected_components(
+                webtext.minhash_lsh_pairs(docs, threshold=0.35, bucket_cap=CAP)
+            ).count()
+        )
+        webtext.release_signature_caches()
+        docs.unpersist()
+        out[f"f{factor}"] = r
+
+    a, b = out[f"f{FACTORS[0]}"], out[f"f{FACTORS[1]}"]
+    ratio = FACTORS[1] / FACTORS[0]
+    out["scale_ratios_wall_per_10x"] = {
+        k.replace("_wall", ""): round((b[k] / a[k]) / ratio, 3)
+        for k in ("minhash_wall", "simhash_wall", "cc_wall")
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
