@@ -685,6 +685,16 @@ def _q_frames_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("doc_id", "frame_idx", "frame_len")
 
 
+def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize over REAL decoded BMP pixels
+    (r05); integer-exact sampling geometry so the oracle replays the
+    sampled pixels from the generator formula. Registered past the
+    driver's 50-entry window (gated by jobs/local_gate.py and the
+    pytest gate replica; the decode layer itself is driver-gated via
+    image_bmp_features)."""
+    return mm.resize_image_features(mm.synth_bmp_media(_docs(spark, sf_dir)))
+
+
 def _q_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video pixels (r05): MP4 files whose samples are real
     baseline JPEGs (MJPEG), demuxed by the real ISO-BMFF demuxer and
@@ -796,6 +806,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn3_brute": _q_knn_brute,
         "simhash64": _q_simhash,
         "multimodal_features": _q_multimodal,
+        "image_resize_features": _q_image_resize,
     }
 
 
@@ -1139,6 +1150,7 @@ def oracle_sql() -> dict[str, str]:
         "video_demux_features": mm_sql.video_demux_sql(),
         "frames_sampled_every5": mm_sql.frames_sampled_sql(every_nth=5),
         "video_frame_pixel_features": mm_sql.mjpeg_pixel_sql(),
+        "image_resize_features": mm_sql.resize_image_sql(),
         # IVF: the sampled k-means TRAINING has no SQL form, but the
         # SERVING path does (VERDICT r02 'Next round' #1) — train once
         # from the gate's parquet (driver gate runs at sf0.01), pin the

@@ -1455,6 +1455,63 @@ def video_frame_pixel_features(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_image_features(media: DataFrame, max_side: int = 4) -> DataFrame:
+    """REAL image resize (r05): decode each BMP payload and
+    nearest-neighbor downsample to fit `max_side` (no upscale) with
+    PURE INTEGER index mapping — target dims tw = max(1, w*max_side //
+    max(w,h)) (th likewise) when max(w,h) > max_side, and source index
+    sx = (2x+1)*w // (2*tw) (the standard pixel-center NN map) — so the
+    DuckDB oracle replays the exact sampled pixels from the generator
+    formula. Emits per-doc source dims, target dims, per-channel sums
+    over the RESIZED raster and wsum_r over resized order (a sampling
+    off-by-one shifts every index). Arrow-batched mapInPandas; the
+    resize itself is numpy fancy indexing, no per-pixel Python."""
+    ms = int(max_side)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "target_w": [], "target_h": [],
+                "sum_r": [], "sum_g": [], "sum_b": [], "wsum_r": [],
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_bmp(payload).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                mx = max(w, h)
+                if mx <= ms:
+                    tw, th = w, h
+                else:
+                    tw = max(1, (w * ms) // mx)
+                    th = max(1, (h * ms) // mx)
+                sx = ((2 * np.arange(tw, dtype=np.int64) + 1) * w) // (2 * tw)
+                sy = ((2 * np.arange(th, dtype=np.int64) + 1) * h) // (2 * th)
+                res = px[sy][:, sx]
+                flat_r = res[:, :, 0].reshape(-1)
+                rows["doc_id"].append(int(did))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["target_w"].append(int(tw))
+                rows["target_h"].append(int(th))
+                rows["sum_r"].append(int(res[:, :, 0].sum()))
+                rows["sum_g"].append(int(res[:, :, 1].sum()))
+                rows["sum_b"].append(int(res[:, :, 2].sum()))
+                rows["wsum_r"].append(
+                    int((np.arange(1, len(flat_r) + 1, dtype=np.int64) * flat_r).sum())
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, target_w int, target_h int, "
+            "sum_r long, sum_g long, sum_b long, wsum_r long"
+        ),
+    )
+
+
 def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Resize bookkeeping (target dims preserving aspect) — Catalyst
     arithmetic; the pixel work is the stubbed decode stage."""

@@ -209,6 +209,46 @@ def mjpeg_pixel_sql(table: str = "documents") -> str:
     )
 
 
+def resize_image_sql(table: str = "documents", max_side: int = 4) -> str:
+    """Oracle for multimodal.resize_image_features over synth_bmp_media:
+    replay the generator pixel formula at EXACTLY the nearest-neighbor
+    sampled source indices — tw = max(1, w*max_side // max(w,h)) (no
+    upscale), sx = (2x+1)*w // (2*tw) — all integer arithmetic, so a
+    match proves the real decode + the sampling geometry."""
+    ms = int(max_side)
+    h = splitmix64_sql(
+        f"(CAST(doc_id AS HUGEINT) * {1 << 32} + {1 << 31} + src) % {_TWO64}"
+    )
+    return (
+        f"WITH dims AS (SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 7 AS ht "
+        f"FROM {table}), "
+        "t AS (SELECT doc_id, w, ht, "
+        f"CASE WHEN greatest(w, ht) <= {ms} THEN w "
+        f"ELSE greatest(1, (w * {ms}) // greatest(w, ht)) END AS tw, "
+        f"CASE WHEN greatest(w, ht) <= {ms} THEN ht "
+        f"ELSE greatest(1, (ht * {ms}) // greatest(w, ht)) END AS th FROM dims), "
+        # target raster index j in [0, tw*th): y = j // tw, x = j % tw
+        "idx AS (SELECT doc_id, w, ht, tw, th, unnest(range(0, tw * th)) AS j FROM t), "
+        "m AS (SELECT doc_id, w, ht, tw, th, j, "
+        "((2 * (j // tw) + 1) * ht) // (2 * th) AS sy, "
+        "((2 * (j % tw) + 1) * w) // (2 * tw) AS sx FROM idx), "
+        "s AS (SELECT doc_id, w, ht, tw, th, j, sy * w + sx AS src FROM m), "
+        f"px AS (SELECT doc_id, w, ht, tw, th, j, ({h}) AS hv FROM s), "
+        "c AS (SELECT doc_id, w, ht, tw, th, j, "
+        "CAST(hv % 256 AS BIGINT) AS r, "
+        "CAST((hv // 256) % 256 AS BIGINT) AS g, "
+        "CAST((hv // 65536) % 256 AS BIGINT) AS b FROM px) "
+        "SELECT doc_id, CAST(any_value(w) AS INTEGER) AS width, "
+        "CAST(any_value(ht) AS INTEGER) AS height, "
+        "CAST(any_value(tw) AS INTEGER) AS target_w, "
+        "CAST(any_value(th) AS INTEGER) AS target_h, "
+        "CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g, "
+        "CAST(sum(b) AS BIGINT) AS sum_b, "
+        "CAST(sum((j + 1) * r) AS BIGINT) AS wsum_r "
+        "FROM c GROUP BY doc_id"
+    )
+
+
 def image_features_sql(table: str = "documents") -> str:
     """Oracle for multimodal.image_features over synth_bmp_media:
     w = 1 + doc_id % 13, h = 1 + doc_id % 7, pixel idx in top-down

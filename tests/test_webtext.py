@@ -964,6 +964,40 @@ def test_extract_sampled_frames_real_bytes(spark):
     assert got == want and len(got) > 12
 
 
+def test_resize_image_features_real_nn(spark):
+    """resize_image_features samples the REAL decoded pixels: per doc,
+    the resized raster equals a hand-computed nearest-neighbor sample
+    of the generator pixel array (index map sx=(2x+1)*w//(2*tw)), dims
+    never upscale, and the stats match."""
+    from insideout_spark.plans import multimodal as mm
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    got = {
+        r["doc_id"]: r
+        for r in mm.resize_image_features(mm.synth_bmp_media(docs), max_side=4).collect()
+    }
+    for did in range(20):
+        w, h = mm._bmp_dims(did)
+        px = mm._bmp_pixels(did, w, h).astype(np.int64)
+        mx = max(w, h)
+        tw, th = (w, h) if mx <= 4 else (max(1, w * 4 // mx), max(1, h * 4 // mx))
+        sx = ((2 * np.arange(tw) + 1) * w) // (2 * tw)
+        sy = ((2 * np.arange(th) + 1) * h) // (2 * th)
+        res = px[sy][:, sx]
+        r = got[did]
+        assert (r["target_w"], r["target_h"]) == (tw, th)
+        assert r["target_w"] <= max(w, 4) and r["target_h"] <= max(h, 4)
+        assert r["sum_r"] == int(res[:, :, 0].sum())
+        assert r["sum_g"] == int(res[:, :, 1].sum())
+        assert r["sum_b"] == int(res[:, :, 2].sum())
+        flat = res[:, :, 0].reshape(-1)
+        assert r["wsum_r"] == int((np.arange(1, len(flat) + 1) * flat).sum())
+    # the corpus exercises both the no-upscale branch (w,h <= 4) and
+    # real downsampling (w up to 13)
+    assert any(max(mm._bmp_dims(d)) <= 4 for d in range(20))
+    assert any(max(mm._bmp_dims(d)) > 4 for d in range(20))
+
+
 def test_mjpeg_real_video_pixels(spark):
     """VERDICT r04 'Next round' #3 done-criterion: MJPEG frames are
     real JPEGs inside a real MP4 — every frame's decoded pixels match
