@@ -685,6 +685,15 @@ def _q_frames_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("doc_id", "frame_idx", "frame_len")
 
 
+def _q_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span detection (r05, the Lee-et-al exact-substring
+    dedup signal): per-doc fraction of k-token windows whose rolling
+    hash appears in >= 2 distinct docs. Registered past the driver's
+    50-entry window (gated by jobs/local_gate.py and the pytest gate
+    replica)."""
+    return webtext.dup_span_stats(_docs(spark, sf_dir))
+
+
 def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL nearest-neighbor resize over REAL decoded BMP pixels
     (r05); integer-exact sampling geometry so the oracle replays the
@@ -807,6 +816,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": _q_simhash,
         "multimodal_features": _q_multimodal,
         "image_resize_features": _q_image_resize,
+        "dup_span_stats": _q_dup_span,
     }
 
 
@@ -1151,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "frames_sampled_every5": mm_sql.frames_sampled_sql(every_nth=5),
         "video_frame_pixel_features": mm_sql.mjpeg_pixel_sql(),
         "image_resize_features": mm_sql.resize_image_sql(),
+        "dup_span_stats": webtext_sql.dup_span_sql(),
         # IVF: the sampled k-means TRAINING has no SQL form, but the
         # SERVING path does (VERDICT r02 'Next round' #1) — train once
         # from the gate's parquet (driver gate runs at sf0.01), pin the

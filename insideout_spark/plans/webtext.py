@@ -655,6 +655,92 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# exact repeated-span detection: k-token window size and the rolling
+# polynomial base (the simhash token-hash base, kept for oracle reuse)
+_SPAN_K = 8
+_SPAN_BASE = 257
+
+
+def dup_span_stats(docs: DataFrame, text_col: str = "text", k: int = _SPAN_K) -> DataFrame:
+    """Exact repeated-span detection — the Lee et al. ('Deduplicating
+    Training Data Makes Language Models Better') exact-substring dedup
+    SIGNAL, distributed: hash every k-token window (rolling polynomial
+    over the per-token poly-257+splitmix64 hashes, mod 2^64), mark a
+    window hash 'duplicated' when it appears in >= 2 DISTINCT docs, and
+    emit per doc (n_windows, n_dup_windows, dup_frac) — the curation
+    column a pipeline thresholds to drop boilerplate-heavy documents.
+
+    Scale shape: one Arrow pass computes token + window hashes (numpy,
+    k vector ops per batch — no per-token Python); the exploded
+    (doc_id, whash) frame is thin; one shuffle on whash for the
+    distinct-doc count; the join back is co-partitioned on whash; one
+    shuffle on doc_id for the per-doc fold. Window-hash collisions
+    (2^-64-scale) are accepted on both engines identically. DuckDB
+    oracle: webtext_sql.dup_span_sql — identical integer arithmetic,
+    so dup_frac (int/int in float64) is bit-exact."""
+    kk = int(k)
+    consts = [
+        np.uint64(pow(_SPAN_BASE, kk - 1 - j, 1 << 64)) for j in range(kk)
+    ]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            toks_per_doc = [t.split() for t in pdf[text_col]]
+            counts = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
+            flat = [w for ts in toks_per_doc for w in ts]
+            hs = _token_hashes_u64(flat)
+            starts = np.r_[np.int64(0), np.cumsum(counts)][:-1]
+            out_doc, out_hash = [], []
+            for d, (did, n, s) in enumerate(zip(pdf["doc_id"], counts, starts)):
+                if n < kk:
+                    continue
+                th = hs[s : s + n]
+                m = n - kk + 1
+                h = np.zeros(m, dtype=np.uint64)
+                for j in range(kk):
+                    h += th[j : j + m] * consts[j]  # uint64 wrap == mod 2^64
+                out_doc.append(np.full(m, did, dtype=np.int64))
+                out_hash.append(h.view(np.int64))
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_doc),
+                        "whash": np.concatenate(out_hash),
+                    }
+                )
+            else:
+                yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                    "whash": pd.Series([], dtype="int64")})
+
+    win = ensure_parallel(docs.select("doc_id", text_col), "doc_id").mapInPandas(
+        run, schema="doc_id long, whash long"
+    )
+    nd = win.groupBy("whash").agg(F.count_distinct("doc_id").alias("__nd"))
+    per = (
+        win.join(nd, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("__nw"),
+            F.sum((F.col("__nd") >= 2).cast("long")).alias("__ndup"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__nw"), F.lit(0)).cast("int").alias("n_windows"),
+            F.coalesce(F.col("__ndup"), F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.when(
+                F.col("__nw").isNotNull(),
+                F.col("__ndup").cast("double") / F.col("__nw").cast("double"),
+            ).alias("dup_frac"),
+        )
+    )
+
+
 _SIMHASH_BANDS = 4  # 4 x 16-bit blocks: exact recall for hamming <= 3
 
 

@@ -108,6 +108,41 @@ def simhash_sql(table: str = "documents") -> str:
     )
 
 
+def dup_span_sql(table: str = "documents", k: int = None) -> str:
+    """Oracle for webtext.dup_span_stats: identical token hashes
+    (_token_hash_sql), identical rolling window hash — whash_i =
+    (sum_j th[i+j] * 257^(k-1-j)) mod 2^64, each term via the 32-bit
+    split multiply — identical >=2-distinct-docs rule, and dup_frac as
+    the same int/int float64 division (bit-exact cross-engine)."""
+    kk = int(k) if k is not None else webtext._SPAN_K
+    terms = " + ".join(
+        _mulmod64_sql(
+            f"th[CAST(i + {j} AS BIGINT)]",
+            pow(webtext._SPAN_BASE, kk - 1 - j, _TWO64),
+        )
+        for j in range(kk)
+    )
+    return (
+        f"WITH tk AS (SELECT doc_id, {WS_TOKS_SQL} AS toks FROM {table}), "
+        "th AS (SELECT doc_id, "
+        f"list_transform(toks, t -> {_token_hash_sql('t')}) AS th, "
+        "len(toks) AS n FROM tk), "
+        "wl AS (SELECT doc_id, "
+        f"list_transform(range(1, greatest(n - {kk} + 2, 1)), i -> ({terms}) % {_TWO64}) "
+        "AS whl FROM th), "
+        "occ AS (SELECT doc_id, unnest(whl) AS whash FROM wl), "
+        "nd AS (SELECT whash, count(DISTINCT doc_id) AS ndd FROM occ GROUP BY whash), "
+        "per AS (SELECT o.doc_id, count(*) AS nw, "
+        "sum(CASE WHEN ndd >= 2 THEN 1 ELSE 0 END) AS ndup "
+        "FROM occ o JOIN nd USING (whash) GROUP BY o.doc_id) "
+        f"SELECT d.doc_id, CAST(coalesce(p.nw, 0) AS INTEGER) AS n_windows, "
+        "CAST(coalesce(p.ndup, 0) AS BIGINT) AS n_dup_windows, "
+        "CASE WHEN p.nw IS NOT NULL THEN "
+        "CAST(p.ndup AS DOUBLE) / CAST(p.nw AS DOUBLE) END AS dup_frac "
+        f"FROM {table} d LEFT JOIN per p ON d.doc_id = p.doc_id"
+    )
+
+
 def capped_pairs_sql(
     bands_cte: str,
     key_cols: tuple,

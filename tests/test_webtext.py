@@ -964,6 +964,37 @@ def test_extract_sampled_frames_real_bytes(spark):
     assert got == want and len(got) > 12
 
 
+def test_dup_span_stats_known_corpus(spark):
+    """Hand-checked repeated-span detection: docs 1/2 share one 8-token
+    span (planted), doc 3 is unique, doc 4 is too short for any window,
+    doc 5 repeats a span only WITHIN itself (must NOT count — the rule
+    is >= 2 distinct docs)."""
+    from insideout_spark.plans import webtext
+
+    span = "a b c d e f g h"  # exactly _SPAN_K tokens
+    rows = [
+        (1, span + " x1 x2 x3"),
+        (2, "y1 y2 " + span),
+        (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+        (4, "too short"),
+        (5, " ".join(["w"] * 20)),  # self-repeating windows only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in webtext.dup_span_stats(docs).collect()}
+    # doc 1: 11 tokens -> 4 windows, exactly ONE (the planted span,
+    # window at offset 0) is shared with doc 2
+    assert (got[1]["n_windows"], got[1]["n_dup_windows"]) == (4, 1)
+    assert got[1]["dup_frac"] == 0.25
+    # doc 2: 10 tokens -> 3 windows, the one at offset 2 is shared
+    assert (got[2]["n_windows"], got[2]["n_dup_windows"]) == (3, 1)
+    # doc 3: unique text, no dups
+    assert got[3]["n_dup_windows"] == 0 and got[3]["n_windows"] == 2
+    # doc 4: no window at all -> NULL dup_frac
+    assert got[4]["n_windows"] == 0 and got[4]["dup_frac"] is None
+    # doc 5: 13 identical windows but only ONE distinct doc -> no dups
+    assert got[5]["n_windows"] == 13 and got[5]["n_dup_windows"] == 0
+
+
 def test_resize_image_features_real_nn(spark):
     """resize_image_features samples the REAL decoded pixels: per doc,
     the resized raster equals a hand-computed nearest-neighbor sample
