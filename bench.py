@@ -213,6 +213,8 @@ def run_headline(spark) -> dict[str, float]:
         "video_demux_features",
         "frames_sampled_every5",
         "video_frame_pixel_features",
+        "image_resize_features",
+        "dup_span_stats",
         "emb_near_dup_pairs",
     ):
         q[name] = best_of(lambda n=name: queries[n](spark, SF_DIR).count())
