@@ -685,6 +685,21 @@ def _q_frames_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("doc_id", "frame_idx", "frame_len")
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup materializer (r05): keep the LONGEST member per near-dup
+    cluster (not the min-id one). Past the driver's 50-entry window;
+    gated by jobs/local_gate.py + the pytest gate replica."""
+    return webtext.dedup_keep_best(_docs(spark, sf_dir))
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (r05): train docs sharing a near-dup
+    component with any val/test doc are flagged keep=false. Past the
+    driver's 50-entry window; gated by jobs/local_gate.py + the pytest
+    gate replica."""
+    return webtext.decontaminate_split(_docs(spark, sf_dir))
+
+
 def _q_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-span detection (r05, the Lee-et-al exact-substring
     dedup signal): per-doc fraction of k-token windows whose rolling
@@ -817,6 +832,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,
         "image_resize_features": _q_image_resize,
         "dup_span_stats": _q_dup_span,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "decontaminate_split": _q_decontaminate,
     }
 
 
@@ -1162,6 +1179,8 @@ def oracle_sql() -> dict[str, str]:
         "video_frame_pixel_features": mm_sql.mjpeg_pixel_sql(),
         "image_resize_features": mm_sql.resize_image_sql(),
         "dup_span_stats": webtext_sql.dup_span_sql(),
+        "dedup_keep_best": webtext_sql.dedup_keep_best_sql(),
+        "decontaminate_split": webtext_sql.decontaminate_split_sql(),
         # IVF: the sampled k-means TRAINING has no SQL form, but the
         # SERVING path does (VERDICT r02 'Next round' #1) — train once
         # from the gate's parquet (driver gate runs at sf0.01), pin the

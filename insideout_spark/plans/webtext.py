@@ -655,6 +655,70 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dedup_keep_best(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.35
+) -> DataFrame:
+    """The dedup MATERIALIZER: near-dup clusters via MinHash-LSH pairs +
+    connected components, then keep ONE representative per cluster —
+    the HIGHEST-QUALITY member (longest text, doc_id tiebreak), not the
+    min-id one (the member a curation pipeline actually wants to keep).
+    Docs outside the pair graph are singleton clusters and kept.
+    Output (doc_id, component_id, keep). Scale shape: the CC runs on
+    the pair graph only; the corpus-side work is one left join on
+    doc_id plus one window over component_id. DuckDB oracle:
+    webtext_sql.dedup_keep_best_sql (WITH RECURSIVE fixpoint +
+    identical ranking)."""
+    from .components import connected_components
+
+    pairs = minhash_lsh_pairs(docs, text_col, threshold=threshold)
+    cc = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    lab = (
+        docs.select("doc_id", F.length(text_col).alias("__n"))
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "__n",
+            F.coalesce("component_id", "doc_id").alias("component_id"),
+        )
+    )
+    w = Window.partitionBy("component_id").orderBy(F.desc("__n"), F.asc("doc_id"))
+    return lab.select(
+        "doc_id", "component_id", (F.row_number().over(w) == 1).alias("keep")
+    )
+
+
+def decontaminate_split(docs: DataFrame, text_col: str = "text", threshold: float = 0.35) -> DataFrame:
+    """Train/eval DECONTAMINATION: a train doc is dropped when its
+    near-dup cluster (MinHash-LSH pairs -> connected components)
+    contains ANY val/test doc — the standard leakage guard when the
+    split must be fixed before dedup (hash_split is id-hash based, so
+    near-identical docs CAN straddle splits; this closes that hole
+    from the split side). Output (doc_id, split, component_id, keep):
+    val/test rows always kept, train rows kept iff their component is
+    eval-free. Same scale shape as dedup_keep_best. DuckDB oracle:
+    webtext_sql.decontaminate_split_sql."""
+    from .components import connected_components
+
+    pairs = minhash_lsh_pairs(docs, text_col, threshold=threshold)
+    cc = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    _, split = split_cols(F.col("doc_id"))
+    lab = (
+        docs.select("doc_id", split.alias("split"))
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id", "split",
+            F.coalesce("component_id", "doc_id").alias("component_id"),
+        )
+    )
+    has_eval = F.max((F.col("split") != "train").cast("int")).over(
+        Window.partitionBy("component_id")
+    )
+    return lab.select(
+        "doc_id", "split", "component_id",
+        ((F.col("split") != "train") | (has_eval == 0)).alias("keep"),
+    )
+
+
 # exact repeated-span detection: k-token window size and the rolling
 # polynomial base (the simhash token-hash base, kept for oracle reuse)
 _SPAN_K = 8

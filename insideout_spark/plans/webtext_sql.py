@@ -497,6 +497,57 @@ def components_sql(pairs_sql: str, a_col: str = "doc_a", b_col: str = "doc_b") -
     )
 
 
+def dedup_keep_best_sql(
+    table: str = "documents", threshold: float = 0.35, bucket_cap: int | None = 1024
+) -> str:
+    """Oracle for webtext.dedup_keep_best: the components fixpoint
+    (components_sql over minhash_pairs_sql) nested as a derived table,
+    singleton components via LEFT JOIN + coalesce, identical
+    (length desc, doc_id) ranking."""
+    comp = components_sql(minhash_pairs_sql(table, threshold=threshold, bucket_cap=bucket_cap))
+    return (
+        f"WITH comp AS (SELECT * FROM ({comp}) t), "
+        f"lab AS (SELECT d.doc_id, length(d.text) AS n, "
+        "coalesce(c.component_id, d.doc_id) AS component_id "
+        f"FROM {table} d LEFT JOIN comp c ON c.doc_id = d.doc_id) "
+        "SELECT doc_id, component_id, "
+        "(row_number() OVER (PARTITION BY component_id ORDER BY n DESC, doc_id) = 1) AS keep "
+        "FROM lab"
+    )
+
+
+def decontaminate_split_sql(
+    table: str = "documents", threshold: float = 0.35, bucket_cap: int | None = 1024
+) -> str:
+    """Oracle for webtext.decontaminate_split: components fixpoint +
+    the hash-split expression + a per-component any-eval window —
+    train rows kept iff their near-dup component is eval-free."""
+    from . import multimodal_sql as mm_sql
+
+    comp = components_sql(minhash_pairs_sql(table, threshold=threshold, bucket_cap=bucket_cap))
+    bp = (
+        "CAST("
+        + mm_sql.splitmix64_sql(
+            "CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + "
+            f"{_TWO64} ELSE CAST(doc_id AS HUGEINT) END"
+        )
+        + " % 10000 AS BIGINT)"
+    )
+    return (
+        f"WITH comp AS (SELECT * FROM ({comp}) t), "
+        f"sp AS (SELECT doc_id, CASE WHEN {bp} < 9800 THEN 'train' "
+        f"WHEN {bp} < 9900 THEN 'val' ELSE 'test' END AS split FROM {table}), "
+        "lab AS (SELECT s.doc_id, s.split, "
+        "coalesce(c.component_id, s.doc_id) AS component_id "
+        "FROM sp s LEFT JOIN comp c ON c.doc_id = s.doc_id), "
+        "he AS (SELECT doc_id, split, component_id, "
+        "max(CASE WHEN split != 'train' THEN 1 ELSE 0 END) "
+        "OVER (PARTITION BY component_id) AS has_eval FROM lab) "
+        "SELECT doc_id, split, component_id, "
+        "(split != 'train' OR has_eval = 0) AS keep FROM he"
+    )
+
+
 def multimodal_features_sql(table: str = "documents") -> str:
     """Oracle for plans/multimodal.extract_media_features over
     synth_media: the synthetic payload is the utf-8 bytes of

@@ -964,6 +964,44 @@ def test_extract_sampled_frames_real_bytes(spark):
     assert got == want and len(got) > 12
 
 
+def test_dedup_keep_best_and_decontaminate(spark, dup_docs):
+    """dedup_keep_best keeps exactly one member per near-dup cluster —
+    the LONGEST (doc_id tiebreak) — and every singleton;
+    decontaminate_split keeps all val/test rows and drops exactly the
+    train rows sharing a component with an eval doc."""
+    from insideout_spark.plans import webtext
+
+    kb = {r["doc_id"]: r for r in webtext.dedup_keep_best(dup_docs).collect()}
+    assert set(kb) == {r["doc_id"] for r in dup_docs.select("doc_id").collect()}
+    # exactly one keeper per component
+    by_comp = {}
+    for r in kb.values():
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for comp, rows in by_comp.items():
+        keepers = [r for r in rows if r["keep"]]
+        assert len(keepers) == 1, comp
+        # the keeper is max-length then min-id within the component
+        lens = {
+            r["doc_id"]: len(t)
+            for r, t in (
+                (r, d["text"])
+                for r in rows
+                for d in dup_docs.filter(F.col("doc_id") == r["doc_id"]).collect()
+            )
+        }
+        best = sorted(rows, key=lambda r: (-lens[r["doc_id"]], r["doc_id"]))[0]
+        assert keepers[0]["doc_id"] == best["doc_id"]
+
+    dc = {r["doc_id"]: r for r in webtext.decontaminate_split(dup_docs).collect()}
+    for r in dc.values():
+        comp_rows = [x for x in dc.values() if x["component_id"] == r["component_id"]]
+        has_eval = any(x["split"] != "train" for x in comp_rows)
+        if r["split"] != "train":
+            assert r["keep"]
+        else:
+            assert r["keep"] == (not has_eval)
+
+
 def test_dup_span_stats_known_corpus(spark):
     """Hand-checked repeated-span detection: docs 1/2 share one 8-token
     span (planted), doc 3 is unique, doc 4 is too short for any window,
