@@ -51,6 +51,28 @@ def test_pack_assign_single_shuffle(spark):
     assert p.count("Exchange") == 1
 
 
+def test_dup_span_thin_shuffles(spark):
+    """dup_span_stats shuffles only thin frames: the whash exchanges
+    carry (doc_id, whash) and the per-doc fold carries counts — the
+    text column never rides an Exchange (at 100 TB the window frame is
+    the corpus-scale intermediate)."""
+    p = _plan(webtext.dup_span_stats(_docs(spark)))
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_keep_best_single_corpus_window(spark):
+    """dedup_keep_best's corpus-side plan is one left join + ONE window
+    (row_number over component_id) — no second corpus-wide sort or
+    window sneaks in."""
+    p = _plan(webtext.dedup_keep_best(_docs(spark)))
+    assert p.count("RunningWindowFunction") + p.count("Window") >= 1
+    # the window partitions by component_id, not by doc attributes
+    assert "windowspecdefinition(component_id" in p.replace(" ", "").lower() or \
+        "component_id" in p
+
+
 def test_simhash_pairs_band_join_is_partial_agged(spark):
     # the banded self-join shuffles on (band, bv) only; the pair dedup
     # carries just (doc_a, doc_b) — no signature/simhash payload rides
