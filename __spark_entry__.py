@@ -709,6 +709,37 @@ def _q_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.dup_span_stats(_docs(spark, sf_dir))
 
 
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (r05): email/IPv4/phone counts + redacted length
+    over deterministically PII-augmented text, pure Catalyst regexp
+    chain. Past the driver's 50-entry window; gated by
+    jobs/local_gate.py + the pytest gate replica."""
+    return webtext.pii_redact(_docs(spark, sf_dir))
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source stratified sampling (r05): splitmix64
+    basis points vs a per-source rate schedule; zero-shuffle keep
+    decision + one combinable agg. Past the driver's 50-entry window."""
+    return webtext.sample_stratified(_docs(spark, sf_dir))
+
+
+def _q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture weights (r05): per-source token share and the
+    uniform-target up/down-sampling weight. Past the driver's 50-entry
+    window."""
+    return webtext.mix_weights(_docs(spark, sf_dir))
+
+
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct-token sketch per source (r05):
+    O(sources x 256)-row shuffle regardless of corpus size; exact
+    decimal register fold + pinned linear-counting literals so the
+    estimate is bit-identical cross-engine. Past the driver's 50-entry
+    window."""
+    return webtext.hll_distinct_tokens(_docs(spark, sf_dir))
+
+
 def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL nearest-neighbor resize over REAL decoded BMP pixels
     (r05); integer-exact sampling geometry so the oracle replays the
@@ -834,6 +865,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": _q_dup_span,
         "dedup_keep_best": _q_dedup_keep_best,
         "decontaminate_split": _q_decontaminate,
+        "pii_redact": _q_pii_redact,
+        "sample_stratified": _q_sample_stratified,
+        "mix_weights": _q_mix_weights,
+        "hll_distinct_tokens": _q_hll_distinct,
     }
 
 
@@ -1181,6 +1216,10 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": webtext_sql.dup_span_sql(),
         "dedup_keep_best": webtext_sql.dedup_keep_best_sql(),
         "decontaminate_split": webtext_sql.decontaminate_split_sql(),
+        "pii_redact": webtext_sql.pii_redact_sql(),
+        "sample_stratified": webtext_sql.sample_stratified_sql(),
+        "mix_weights": webtext_sql.mix_weights_sql(),
+        "hll_distinct_tokens": webtext_sql.hll_distinct_sql(),
         # IVF: the sampled k-means TRAINING has no SQL form, but the
         # SERVING path does (VERDICT r02 'Next round' #1) — train once
         # from the gate's parquet (driver gate runs at sf0.01), pin the

@@ -1782,3 +1782,258 @@ def best_doc_per_source(
         .filter(F.col("rank") <= k)
         .select(source_col, "doc_id", "n_tokens", "sum_lp_q", "mean_lp", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / stratified sampling / mixture weights / HLL sketch
+# (LLM corpus-prep operators beyond the reference's surface; reference
+# parity anchor: the text-pipeline family of README.md "filter +
+# transform" operators — each has an exact DuckDB oracle twin in
+# webtext_sql.py)
+# ---------------------------------------------------------------------------
+
+# shared Java-regex/RE2 subset: char classes, bounded reps only — no
+# lookaround, no \b (Java and RE2 agree on everything used here)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE_RE = r"\d{3}-\d{4}"
+
+
+def pii_augmented_text(text_col: str = "text", id_col: str = "doc_id"):
+    """Deterministic PII-bearing text derived from (text, doc_id) —
+    the synthetic corpus carries no natural emails/IPs/phones, so the
+    regex chain under test is exercised on text augmented identically
+    in Spark and the DuckDB oracle (same pattern as the multimodal
+    generator-formula oracles). ~1/3 of docs get a second email; the
+    rest get a near-miss ('no-at.example') that must NOT match."""
+    did = F.col(id_col).cast("string")
+    return F.concat(
+        F.col(text_col),
+        F.lit(" user"), did,
+        F.lit("@m"), F.pmod(F.col(id_col), F.lit(7)).cast("string"),
+        F.lit(".co ip 10."),
+        F.pmod(F.col(id_col), F.lit(256)).cast("string"),
+        F.lit("."),
+        F.pmod(F.expr(f"{id_col} div 7"), F.lit(256)).cast("string"),
+        F.lit(".9 tel 555-"),
+        F.lpad(F.pmod(F.col(id_col), F.lit(10000)).cast("string"), 4, "0"),
+        F.when(
+            F.pmod(F.col(id_col), F.lit(3)) == 0,
+            F.concat(F.lit(" alt"), did, F.lit("@ex.org")),
+        ).otherwise(F.lit(" no-at.example")),
+    )
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the pre-training compliance pass every corpus
+    pipeline runs before tokenization: count + redact emails, IPv4s,
+    and phone-shaped numbers with a sequential Catalyst regexp chain
+    (email -> <EMAIL>, then ipv4 -> <IP>, then phone -> <PHONE>; each
+    count is taken on the text as seen at ITS stage, so an IP inside an
+    already-redacted email can't double-count).
+
+    Scale shape: pure Catalyst (regexp_count/regexp_replace inside
+    whole-stage codegen), zero shuffle, no Python. Oracle:
+    webtext_sql.pii_redact_sql — same regexes under RE2."""
+    aug = pii_augmented_text(text_col)
+    r1 = F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>")
+    r2 = F.regexp_replace(r1, PII_IPV4_RE, "<IP>")
+    r3 = F.regexp_replace(r2, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(PII_EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(r1, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(r2, F.lit(PII_PHONE_RE)).cast("long").alias("n_phone"),
+        F.length(r3).cast("long").alias("red_len"),
+    )
+
+
+def sample_stratified(
+    docs: DataFrame, id_col: str = "doc_id", source_col: str = "source"
+) -> DataFrame:
+    """Deterministic stratified sampling — per-source keep rates via
+    the same counter-based splitmix64 basis points as hash_split (no
+    RNG state: stable under re-runs, reshards, incremental ingest, and
+    independent of the train/val/test split stream). Rate schedule:
+    10000 div (1 + source_idx mod 4) bp, i.e. 100%/50%/33.33%/25% —
+    the 'downweight low-quality crawls' shape.
+
+    Scale shape: zero-shuffle map side (hash + compare), ONE map-side
+    combinable aggregation on source. Output per source:
+    (source, rate_bp, n_total, n_kept)."""
+    from decimal import Decimal
+
+    two64 = F.lit(Decimal(1 << 64)).cast("decimal(38,0)")
+    z = splitmix64_col(F.col(id_col).cast("long")).cast("decimal(38,0)")
+    bp = F.pmod(F.pmod(z, two64), F.lit(10000).cast("decimal(38,0)")).cast("long")
+    rate_bp = F.expr(
+        f"10000 div (1 + pmod(cast(substring({source_col}, 4, 16) as long), 4))"
+    )
+    kept = (bp < rate_bp).cast("long")
+    return (
+        docs.select(F.col(source_col), rate_bp.alias("rate_bp"), kept.alias("__k"))
+        .groupBy(source_col, "rate_bp")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("__k").alias("n_kept"),
+        )
+    )
+
+
+def mix_weights(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Domain-mixture weights — per-source token share and the
+    up/down-sampling weight that equalizes the mixture (uniform
+    target): weight = total_tokens / (n_sources * source_tokens).
+    Both ratios are ONE int64/int64 double division (bit-identical
+    cross-engine; the repo's pinned-float convention).
+
+    Scale shape: one map-side combinable agg on source; the total is a
+    broadcast-sized second agg over n_sources rows (a window over the
+    tiny aggregate, no second scan)."""
+    per = (
+        docs.select(source_col, F.size(ws_tokens(F.col(text_col))).cast("long").alias("__t"))
+        .groupBy(source_col)
+        .agg(F.count("*").alias("n_docs"), F.sum("__t").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    nsrc = F.count("*").over(w)
+    return per.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / total.cast("double")).alias("tok_share"),
+        (total.cast("double") / (nsrc * F.col("n_tokens")).cast("double")).alias("mix_weight"),
+    )
+
+
+_HLL_M = 256  # registers (p = 8); standard-error ~ 1.04/sqrt(m) ~ 6.5%
+
+
+def _hll_alpha_const(m: int = _HLL_M) -> float:
+    """alpha_m * m^2 * 2^64 as ONE float64 literal, computed the same
+    way on both engines (emitted verbatim into the oracle SQL)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << 64)
+
+
+def _hll_lc_table(m: int = _HLL_M) -> tuple:
+    """Linear-counting estimates m*ln(m/V) for V = 1..m-1 zero
+    registers, precomputed driver-side so ln never runs inside either
+    engine (cross-engine libm log is not bit-stable — the same
+    'pin trained floats as literals' pattern as the IVF centroids).
+    Index i (1-based) = estimate when V = i registers are zero."""
+    import math
+
+    return tuple(m * math.log(m / v) for v in range(1, m))
+
+
+def _bitlength_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of a uint64 array (0 -> 0) — no
+    float log (values above 2^53 would round)."""
+    bl = np.zeros(w.shape, dtype=np.int64)
+    v = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    bl[v > 0] += 1
+    return bl
+
+
+def hll_distinct_tokens(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Mergeable HyperLogLog sketch of distinct tokens per source —
+    the corpus-diversity dashboard number ('how many unique words does
+    this crawl contribute') computed WITHOUT a distinct shuffle of the
+    full token stream (Flajolet et al. 2007). Register layout: h =
+    splitmix64(poly-257 token hash) (the repo-wide token identity);
+    register = h & 255; rho = leading-zero run of the remaining 56
+    bits + 1 (w = 0 -> 57).
+
+    Scale shape — the whole point of the sketch: one Arrow pass emits
+    per-BATCH partial registers (<= 256 x n_sources tiny rows per
+    batch via np.maximum.at, never the token stream), then ONE
+    map-side-combinable max-agg on (source, register) and a per-source
+    fold. At 100 TB the shuffle is O(sources x 256) rows regardless of
+    corpus size; an exact count_distinct would shuffle every unique
+    token. Estimate = alpha*m^2*2^64 / S with S = sum over registers of
+    2^(64-rho) kept EXACT in decimal(38,0) (absent registers
+    contribute 2^64), so the only float op is one literal/double
+    division — bit-identical in the DuckDB oracle
+    (webtext_sql.hll_distinct_sql). sketch_sum is emitted as a string:
+    the value exceeds int64 and decimal-vs-HUGEINT canonicalization
+    differs across engines."""
+    from decimal import Decimal
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            toks_per_row = [t.split() for t in pdf[text_col]]
+            counts = np.array([len(ts) for ts in toks_per_row], dtype=np.int64)
+            src_codes, uniq = pd.factorize(pdf[source_col])
+            flat = [w for ts in toks_per_row for w in ts]
+            if not flat:
+                yield pd.DataFrame(
+                    {"source": pd.Series([], dtype="object"),
+                     "register": pd.Series([], dtype="int32"),
+                     "rho": pd.Series([], dtype="int32")}
+                )
+                continue
+            hs = _token_hashes_u64(flat)
+            tok_src = np.repeat(src_codes.astype(np.int64), counts)
+            reg = (hs & np.uint64(255)).astype(np.int64)
+            w = hs >> np.uint64(8)
+            rho = (57 - _bitlength_u64(w)).astype(np.int64)  # w=0 -> 57
+            key = tok_src * _HLL_M + reg
+            maxr = np.zeros(len(uniq) * _HLL_M, dtype=np.int64)
+            np.maximum.at(maxr, key, rho)
+            hit = np.nonzero(maxr)[0]
+            yield pd.DataFrame(
+                {
+                    "source": np.asarray(uniq, dtype=object)[hit // _HLL_M],
+                    "register": (hit % _HLL_M).astype(np.int32),
+                    "rho": maxr[hit].astype(np.int32),
+                }
+            )
+
+    partials = ensure_parallel(
+        docs.select(source_col, text_col), source_col
+    ).mapInPandas(run, schema="source string, register int, rho int")
+    regs = partials.groupBy("source", "register").agg(F.max("rho").alias("rho"))
+    # 2^(64-rho) exactly: exponent 63 (rho=1) overflows signed long, so
+    # it enters as a decimal literal; everything else is a long shift
+    term = F.when(
+        F.col("rho") == 1, F.lit(Decimal(1 << 63)).cast("decimal(38,0)")
+    ).otherwise(
+        F.expr("shiftleft(cast(1 as long), 64 - rho)").cast("decimal(38,0)")
+    )
+    two64 = F.lit(Decimal(1 << 64)).cast("decimal(38,0)")
+    per = regs.groupBy("source").agg(
+        F.count("*").cast("long").alias("m_hit"),
+        F.sum(term).alias("__s_hit"),
+    )
+    sketch_sum = (
+        F.col("__s_hit") + (F.lit(_HLL_M).cast("decimal(38,0)") - F.col("m_hit")) * two64
+    )
+    raw = F.lit(_hll_alpha_const()) / sketch_sum.cast("double")
+    # small-range correction (Flajolet et al. §4): when raw <= 2.5m and
+    # zero registers exist, linear counting m*ln(m/V) — served from the
+    # precomputed literal table so both engines pick the same double
+    nzero = (F.lit(_HLL_M) - F.col("m_hit")).cast("int")
+    lc = F.element_at(
+        F.array(*[F.lit(v) for v in _hll_lc_table()]), nzero
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (nzero > 0), lc
+    ).otherwise(raw)
+    return per.select(
+        "source",
+        "m_hit",
+        sketch_sum.cast("decimal(38,0)").cast("string").alias("sketch_sum"),
+        est.alias("est_distinct"),
+    )

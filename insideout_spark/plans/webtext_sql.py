@@ -682,3 +682,130 @@ def best_doc_per_source_sql(model: dict, table: str = "documents", k: int = 1) -
         "ORDER BY mean_lp DESC, doc_id) AS BIGINT) AS rank "
         f"FROM j QUALIFY rank <= {int(k)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / stratified sampling / mixture weights / HLL sketch
+# ---------------------------------------------------------------------------
+
+
+def _pii_aug_sql(table_alias: str = "") -> str:
+    """SQL twin of webtext.pii_augmented_text — the deterministic
+    PII-bearing augmentation derived from (text, doc_id)."""
+    return (
+        "(text || ' user' || CAST(doc_id AS VARCHAR)"
+        " || '@m' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.co ip 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)"
+        " || '.9 tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || CASE WHEN doc_id % 3 = 0"
+        " THEN ' alt' || CAST(doc_id AS VARCHAR) || '@ex.org'"
+        " ELSE ' no-at.example' END)"
+    )
+
+
+def pii_redact_sql(table: str = "documents") -> str:
+    """Oracle for webtext.pii_redact — identical regexes (shared
+    Java-regex/RE2 subset), identical sequential redaction stages."""
+    email = webtext.PII_EMAIL_RE
+    ipv4 = webtext.PII_IPV4_RE
+    phone = webtext.PII_PHONE_RE
+    return (
+        f"WITH a AS (SELECT doc_id, {_pii_aug_sql()} AS aug FROM {table}), "
+        f"r AS (SELECT doc_id, aug, "
+        f"regexp_replace(aug, '{email}', '<EMAIL>', 'g') AS r1 FROM a), "
+        f"r2t AS (SELECT doc_id, aug, r1, "
+        f"regexp_replace(r1, '{ipv4}', '<IP>', 'g') AS r2 FROM r) "
+        f"SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(aug, '{email}')) AS BIGINT) AS n_email, "
+        f"CAST(len(regexp_extract_all(r1, '{ipv4}')) AS BIGINT) AS n_ipv4, "
+        f"CAST(len(regexp_extract_all(r2, '{phone}')) AS BIGINT) AS n_phone, "
+        f"CAST(length(regexp_replace(r2, '{phone}', '<PHONE>', 'g')) AS BIGINT) "
+        f"AS red_len FROM r2t"
+    )
+
+
+def sample_stratified_sql(table: str = "documents") -> str:
+    """Oracle for webtext.sample_stratified — same splitmix64 basis
+    points as _hash_split_oracle, same rate schedule."""
+    from . import multimodal_sql as mm_sql
+
+    bp = (
+        "CAST("
+        + mm_sql.splitmix64_sql(
+            "CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + "
+            f"{1 << 64} ELSE CAST(doc_id AS HUGEINT) END"
+        )
+        + " % 10000 AS BIGINT)"
+    )
+    return (
+        f"WITH k AS (SELECT source, "
+        "CAST(10000 // (1 + CAST(substr(source, 4) AS BIGINT) % 4) AS BIGINT) "
+        "AS rate_bp, "
+        f"CASE WHEN {bp} < 10000 // (1 + CAST(substr(source, 4) AS BIGINT) % 4) "
+        f"THEN 1 ELSE 0 END AS kept FROM {table}) "
+        "SELECT source, rate_bp, CAST(count(*) AS BIGINT) AS n_total, "
+        "CAST(sum(kept) AS BIGINT) AS n_kept FROM k GROUP BY source, rate_bp"
+    )
+
+
+def mix_weights_sql(table: str = "documents") -> str:
+    """Oracle for webtext.mix_weights — per-source token totals, then
+    the SAME two single int/int double divisions."""
+    return (
+        f"WITH tk AS (SELECT source, "
+        f"CAST(len({WS_TOKS_SQL}) AS BIGINT) AS t FROM {table}), "
+        "p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(t) AS BIGINT) AS n_tokens FROM tk GROUP BY source) "
+        "SELECT source, n_docs, n_tokens, "
+        "CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) "
+        "AS tok_share, "
+        "CAST(sum(n_tokens) OVER () AS DOUBLE) / "
+        "CAST(count(*) OVER () * n_tokens AS DOUBLE) AS mix_weight FROM p"
+    )
+
+
+def hll_distinct_sql(table: str = "documents") -> str:
+    """Oracle for webtext.hll_distinct_tokens — same token hash,
+    register/rho layout, exact HUGEINT register fold, and the single
+    alpha-literal / double division."""
+    m = webtext._HLL_M
+    alpha = repr(webtext._hll_alpha_const())
+    rho = (
+        "CASE WHEN w = 0 THEN 57 "
+        "ELSE 57 - length(bin(CAST(w AS BIGINT))) END"
+    )
+    return (
+        f"WITH tk AS (SELECT source, {WS_TOKS_SQL} AS toks FROM {table}), "
+        f"th AS (SELECT source, unnest(list_transform(toks, t -> "
+        f"{_token_hash_sql('t')})) AS h FROM tk), "
+        f"rr AS (SELECT source, CAST(h % {m} AS INT) AS register, "
+        f"h // {m} AS w FROM th), "
+        f"rg AS (SELECT source, register, MAX({rho}) AS rho "
+        "FROM rr GROUP BY source, register), "
+        "s AS (SELECT source, CAST(count(*) AS BIGINT) AS m_hit, "
+        "SUM(CAST(power(2, 64 - rho) AS HUGEINT)) AS s_hit "
+        "FROM rg GROUP BY source), "
+        f"e AS (SELECT source, m_hit, "
+        f"s_hit + ({m} - m_hit) * CAST({1 << 64} AS HUGEINT) AS ssum, "
+        f"CAST({alpha} AS DOUBLE) / "
+        f"CAST(s_hit + ({m} - m_hit) * CAST({1 << 64} AS HUGEINT) AS DOUBLE) "
+        "AS raw FROM s) "
+        "SELECT source, m_hit, CAST(ssum AS VARCHAR) AS sketch_sum, "
+        f"CASE WHEN raw <= {repr(2.5 * m)} AND m_hit < {m} "
+        f"THEN {_lc_table_sql(m)}[{m} - m_hit] ELSE raw END AS est_distinct "
+        "FROM e"
+    )
+
+
+def _lc_table_sql(m: int) -> str:
+    """The precomputed linear-counting literal list (webtext
+    ._hll_lc_table), 1-indexed by the number of zero registers.
+    Each entry is CAST('<repr>' AS DOUBLE): a bare decimal literal
+    would parse as DECIMAL and round-trip a ulp off (the repo-wide
+    DuckDB-literal rule, CLAUDE.md)."""
+    return (
+        "["
+        + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in webtext._hll_lc_table(m))
+        + "]"
+    )

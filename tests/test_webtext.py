@@ -1269,3 +1269,81 @@ def test_best_doc_per_source(spark, tmp_path):
     out = {r["source"]: r["doc_id"] for r in
            webtext.best_doc_per_source(df, model).collect()}
     assert out == {"a.com": 1, "b.com": 3}
+
+
+def test_pii_redact_counts_and_near_miss(spark):
+    """The augmentation plants 1 email + (alt email iff doc_id%3==0) +
+    1 IP + 1 phone per doc; 'no-at.example' must NOT count as an email.
+    Body text PII is also caught (email in doc 8's own text)."""
+    rows = [
+        (6, "plain body"),                     # %3==0 -> alt email, 2 total
+        (7, "plain body"),                     # near-miss branch, 1 email
+        (8, "contact bob@corp.example please"),  # body email counted too
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in webtext.pii_redact(df).collect()}
+    assert out[6]["n_email"] == 2 and out[7]["n_email"] == 1
+    assert out[8]["n_email"] == 2               # body + planted
+    assert all(r["n_ipv4"] == 1 for r in out.values())
+    assert all(r["n_phone"] == 1 for r in out.values())
+    # redacted length: tags replace the matches, so red_len is the
+    # augmented length with each PII span swapped for its tag
+    assert all(r["red_len"] > 0 for r in out.values())
+
+
+def test_sample_stratified_rates_and_determinism(spark):
+    """Rate schedule 10000//(1+idx%4) bp per source; the splitmix64
+    keep decision is deterministic and unbiased within ~3 sigma."""
+    import pandas as pd
+
+    n = 4000
+    rows = [(i, "t", f"src{i % 4}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in webtext.sample_stratified(df).collect()}
+    assert {r["rate_bp"] for r in out.values()} == {10000, 5000, 3333, 2500}
+    for r in out.values():
+        p = r["rate_bp"] / 10000.0
+        sigma = (r["n_total"] * p * (1 - p)) ** 0.5
+        assert abs(r["n_kept"] - p * r["n_total"]) <= max(3 * sigma, 1)
+    out2 = {r["source"]: r for r in webtext.sample_stratified(df).collect()}
+    assert {k: v["n_kept"] for k, v in out.items()} == {
+        k: v["n_kept"] for k, v in out2.items()
+    }
+
+
+def test_mix_weights_invariants(spark):
+    """tok_share sums to 1; mix_weight equalizes: weight * share ==
+    1/n_sources exactly in the double algebra used."""
+    rows = [
+        (1, "a b c d e f g h", "s1"),   # 8 tokens
+        (2, "a b", "s1"),               # 2  -> s1: 10
+        (3, "a b c d e", "s2"),         # 5  -> s2: 5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in webtext.mix_weights(df).collect()}
+    assert out["s1"]["n_tokens"] == 10 and out["s2"]["n_tokens"] == 5
+    assert abs(sum(r["tok_share"] for r in out.values()) - 1.0) < 1e-12
+    assert out["s1"]["mix_weight"] == 15.0 / (2 * 10)
+    assert out["s2"]["mix_weight"] == 15.0 / (2 * 5)
+
+
+def test_hll_distinct_accuracy_and_merge_shape(spark):
+    """The sketch estimate tracks the exact distinct-token count
+    within the expected error band, and the shuffle payload is bounded
+    by 256 registers per source regardless of corpus size."""
+    rng = np.random.default_rng(7)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    rows = []
+    for i in range(200):
+        words = ["".join(rng.choice(letters, 5)) for _ in range(60)]
+        rows.append((i, " ".join(words), f"src{i % 2}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in webtext.hll_distinct_tokens(df).collect()}
+    truth = {}
+    for did, text, src in rows:
+        truth.setdefault(src, set()).update(text.split())
+    for src, toks in truth.items():
+        r = out[src]
+        assert r["m_hit"] <= 256
+        rel = abs(r["est_distinct"] - len(toks)) / len(toks)
+        assert rel < 0.25, (src, r["est_distinct"], len(toks))
