@@ -740,6 +740,36 @@ def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.hll_distinct_tokens(_docs(spark, sf_dir))
 
 
+def _q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TLD rollup of deterministically synthesized URLs (r05 batch
+    2): host/domain/TLD/path-depth/query regexp chain, one combinable
+    agg. Past the driver's 50-entry window; gated by
+    jobs/local_gate.py + the pytest gate replica."""
+    return webtext.url_domain_stats(_docs(spark, sf_dir))
+
+
+def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (r05 batch 2): keep <= 10 docs per source in
+    deterministic splitmix64 order — the crawl-balancing sampler.
+    Past the driver's 50-entry window."""
+    return webtext.domain_cap(_docs(spark, sf_dir))
+
+
+def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin length histogram per lang (r05 batch 2): exact,
+    mergeable, O(langs x 32)-row shuffle. Past the driver's 50-entry
+    window."""
+    return webtext.length_histogram(_docs(spark, sf_dir))
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch + heavy-hitter probe (r05 batch 2): d=4 x
+    w=1024 counter grid from disjoint hash slices, batch-partial
+    counters so the shuffle is O(4096) rows at any corpus size. Past
+    the driver's 50-entry window."""
+    return webtext.cms_heavy_hitters(_docs(spark, sf_dir))
+
+
 def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL nearest-neighbor resize over REAL decoded BMP pixels
     (r05); integer-exact sampling geometry so the oracle replays the
@@ -869,6 +899,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "mix_weights": _q_mix_weights,
         "hll_distinct_tokens": _q_hll_distinct,
+        "url_domain_stats": _q_url_domain_stats,
+        "domain_cap": _q_domain_cap,
+        "length_histogram": _q_length_histogram,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
     }
 
 
@@ -1220,6 +1254,10 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": webtext_sql.sample_stratified_sql(),
         "mix_weights": webtext_sql.mix_weights_sql(),
         "hll_distinct_tokens": webtext_sql.hll_distinct_sql(),
+        "url_domain_stats": webtext_sql.url_domain_stats_sql(),
+        "domain_cap": webtext_sql.domain_cap_sql(),
+        "length_histogram": webtext_sql.length_histogram_sql(),
+        "cms_heavy_hitters": webtext_sql.cms_heavy_hitters_sql(),
         # IVF: the sampled k-means TRAINING has no SQL form, but the
         # SERVING path does (VERDICT r02 'Next round' #1) — train once
         # from the gate's parquet (driver gate runs at sf0.01), pin the

@@ -216,6 +216,10 @@ def run_headline(spark) -> dict[str, float]:
         "image_resize_features",
         "dup_span_stats",
         "emb_near_dup_pairs",
+        "pii_redact",
+        "sample_stratified",
+        "mix_weights",
+        "hll_distinct_tokens",
     ):
         q[name] = best_of(lambda n=name: queries[n](spark, SF_DIR).count())
 

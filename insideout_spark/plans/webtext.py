@@ -2037,3 +2037,228 @@ def hll_distinct_tokens(
         sketch_sum.cast("decimal(38,0)").cast("string").alias("sketch_sum"),
         est.alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL/domain rollups, per-domain caps, histograms, count-min sketch
+# (corpus-curation family, round 5 batch 2; reference parity anchor:
+# the same "filter + aggregate over page metadata" family as
+# README.md's stab pipelines — each has an exact DuckDB twin in
+# webtext_sql.py)
+# ---------------------------------------------------------------------------
+
+_URL_TLDS = ("com", "org", "net", "io")
+
+
+def synth_url(id_col: str = "doc_id", source_col: str = "source"):
+    """Deterministic URL derived from (doc_id, source) — the corpus
+    carries no url column, so the parsing chain under test runs on
+    URLs synthesized identically in Spark and the DuckDB oracle (the
+    pii_augmented_text pattern). Shapes exercised: optional www.,
+    97 distinct hosts, 4 TLDs, depth-1 vs depth-2 paths, optional
+    query string."""
+    did = F.col(id_col)
+    return F.concat(
+        F.lit("https://"),
+        F.when(F.pmod(did, F.lit(5)) == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"), F.pmod(did, F.lit(97)).cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _URL_TLDS]),
+            (F.pmod(did, F.lit(4)) + 1).cast("int"),
+        ),
+        F.when(F.pmod(did, F.lit(3)) == 0, F.lit("/a/b")).otherwise(F.lit("/a")),
+        F.when(
+            F.pmod(did, F.lit(4)) == 0, F.concat(F.lit("?q="), F.col(source_col))
+        ).otherwise(F.lit("")),
+    )
+
+
+def url_domain_stats(docs: DataFrame) -> DataFrame:
+    """Per-TLD rollup of parsed URLs — the 'what does this crawl look
+    like by domain' dashboard: host/registered-domain/TLD/path-depth/
+    query extraction with a shared Java-regex/RE2 subset, then ONE
+    map-side-combinable aggregation (count-distinct of the 97-ish
+    domains is exact and tiny).
+
+    Scale shape: pure Catalyst regexp chain in whole-stage codegen,
+    zero Python; one shuffle on the 4-row tld key. Oracle:
+    webtext_sql.url_domain_stats_sql."""
+    url = synth_url()
+    host = F.regexp_extract(url, r"https?://([^/?]+)", 1)
+    domain = F.regexp_replace(host, r"^www\.", "")
+    tld = F.regexp_extract(domain, r"\.([A-Za-z]+)$", 1)
+    path = F.regexp_extract(url, r"https?://[^/?]+([^?]*)", 1)
+    depth = F.length(path) - F.length(F.regexp_replace(path, "/", ""))
+    has_q = F.contains(url, F.lit("?")).cast("long")
+    return (
+        docs.select(
+            tld.alias("tld"),
+            domain.alias("__d"),
+            depth.cast("long").alias("__depth"),
+            has_q.alias("__q"),
+            F.col("n_chars"),
+        )
+        .groupBy("tld")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("__d").alias("n_domains"),
+            F.sum("__q").alias("n_with_query"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max("__depth").alias("max_depth"),
+        )
+    )
+
+
+def domain_cap(docs: DataFrame, k: int = 10, source_col: str = "source") -> DataFrame:
+    """Per-domain cap — the crawl-balancing step that keeps at most k
+    docs per source, chosen DETERMINISTICALLY by splitmix64(doc_id)
+    order (a seeded shuffle: stable under re-runs and reshards, no RNG
+    state), not by position, so a re-crawled domain keeps the same
+    sample.
+
+    Scale shape: one shuffle on source for the window; heavy domains
+    are exactly the AQE skew-split case (documented bound: the window
+    sorts each domain once — at web scale feed it the pre-filtered
+    candidate set, not the raw crawl). Output: the kept (doc_id,
+    source, rk). Oracle: webtext_sql.domain_cap_sql."""
+    h = splitmix64_col(F.col("doc_id").cast("long"))
+    w = Window.partitionBy(source_col).orderBy(F.col("__h"), F.col("doc_id"))
+    return (
+        docs.select("doc_id", source_col, h.alias("__h"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", source_col, "rk")
+    )
+
+
+_HIST_BIN_W = 16
+_HIST_NBINS = 32
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """Fixed-bin histogram of document length per language — the
+    corpus length-distribution dashboard, computed with explicit bin
+    arithmetic (bin = min(n_chars div 16, 31)) instead of a sampled
+    quantile pass so the result is exact and mergeable.
+
+    Scale shape: map-side combinable groupBy on (lang, bin) — the
+    shuffle is O(langs x 32) rows regardless of corpus size. Oracle:
+    webtext_sql.length_histogram_sql."""
+    b = F.least(
+        F.expr(f"n_chars div {_HIST_BIN_W}"), F.lit(_HIST_NBINS - 1)
+    ).cast("long")
+    return (
+        docs.select("lang", b.alias("bin"), "n_chars")
+        .groupBy("lang", "bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "lang",
+            "bin",
+            (F.col("bin") * _HIST_BIN_W).alias("lo"),
+            "n",
+        )
+    )
+
+
+_CMS_D = 4       # hash rows: disjoint 10-bit slices of the token hash
+_CMS_W = 1024    # counters per row
+_CMS_PROBES = (
+    "the", "a", "table", "row", "value", "fast", "key", "scan", "spark", "hash",
+)
+
+
+def cms_heavy_hitters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count-min sketch over the token stream + heavy-hitter probe —
+    the second sketch family next to HLL (Cormode & Muthukrishnan
+    2005): token counts approximated by a d=4 x w=1024 counter grid
+    where row r buckets on bits [10r, 10r+10) of the splitmix64 token
+    hash (avalanched: the slices act as independent hashes). Probing
+    the pinned vocabulary words returns est_n = min over rows of the
+    bucket counter — an overestimate by construction (est_n >= true_n,
+    asserted in tests).
+
+    Scale shape: one Arrow pass emits per-BATCH partial counters
+    (<= 4096 tiny rows per batch via np.add.at, never the token
+    stream), ONE map-side-combinable sum-agg on (row, bucket), then a
+    broadcast join against the 10 probe buckets. At 100 TB the shuffle
+    is O(d x w) rows regardless of corpus size. true_n rides the same
+    pass (exact count of probe tokens only). Oracle:
+    webtext_sql.cms_heavy_hitters_sql — same hash, same slices, same
+    exact integer counters."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            flat = [w for t in pdf[text_col] for w in t.split()]
+            if not flat:
+                continue
+            hs = _token_hashes_u64(flat)
+            parts = []
+            for r in range(_CMS_D):
+                b = ((hs >> np.uint64(10 * r)) & np.uint64(_CMS_W - 1)).astype(
+                    np.int64
+                )
+                cnt = np.zeros(_CMS_W, dtype=np.int64)
+                np.add.at(cnt, b, 1)
+                hit = np.nonzero(cnt)[0]
+                parts.append(
+                    pd.DataFrame(
+                        {"row": np.full(len(hit), r, dtype=np.int32),
+                         "bucket": hit.astype(np.int32),
+                         "n": cnt[hit]}
+                    )
+                )
+            # exact probe-token counts ride along as row = -1,
+            # bucket = probe index
+            pc = pd.Series(flat).value_counts()
+            pr = [(i, int(pc[t])) for i, t in enumerate(_CMS_PROBES) if t in pc]
+            if pr:
+                parts.append(
+                    pd.DataFrame(
+                        {"row": np.full(len(pr), -1, dtype=np.int32),
+                         "bucket": np.array([p[0] for p in pr], dtype=np.int32),
+                         "n": np.array([p[1] for p in pr], dtype=np.int64)}
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    partials = ensure_parallel(docs.select(text_col), text_col).mapInPandas(
+        run, schema="row int, bucket int, n long"
+    )
+    counters = partials.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+    # probe lookup table: (token, probe index, d bucket positions)
+    probe_rows = []
+    for i, t in enumerate(_CMS_PROBES):
+        h = int(_token_hashes_u64([t])[0])
+        for r in range(_CMS_D):
+            probe_rows.append((t, i, r, (h >> (10 * r)) & (_CMS_W - 1)))
+    spark = docs.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "token string, pidx int, row int, bucket int"
+    )
+    # probes LEFT join counters: an absent bucket is a zero counter,
+    # and the CMS min must see it (min over ALL d rows, not just hits)
+    est = (
+        probes.join(
+            F.broadcast(counters.filter(F.col("row") >= 0)), ["row", "bucket"], "left"
+        )
+        .groupBy("token", "pidx")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
+    )
+    # true_n comes from the SAME aggregated counters frame (row = -1
+    # partials survive the groupBy) — deriving it from `partials`
+    # would re-run the mapInPandas scan a second time over the corpus
+    true_n = (
+        counters.filter(F.col("row") == -1)
+        .select(F.col("bucket").alias("pidx"), F.col("n").alias("true_n"))
+    )
+    return (
+        est.join(true_n, "pidx", "left")
+        .select(
+            "token",
+            F.coalesce(F.col("true_n"), F.lit(0)).cast("long").alias("true_n"),
+            F.col("est_n").cast("long").alias("est_n"),
+        )
+    )

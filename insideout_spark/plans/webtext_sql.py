@@ -809,3 +809,105 @@ def _lc_table_sql(m: int) -> str:
         + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in webtext._hll_lc_table(m))
         + "]"
     )
+
+
+# ---------------------------------------------------------------------------
+# URL/domain rollups, per-domain caps, histograms, count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _synth_url_sql() -> str:
+    """SQL twin of webtext.synth_url — deterministic URL from
+    (doc_id, source)."""
+    tlds = "[" + ", ".join(f"'{t}'" for t in webtext._URL_TLDS) + "]"
+    return (
+        "('https://' || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END"
+        " || 'site' || CAST(doc_id % 97 AS VARCHAR) || '.'"
+        f" || {tlds}[CAST(doc_id % 4 AS INT) + 1]"
+        " || CASE WHEN doc_id % 3 = 0 THEN '/a/b' ELSE '/a' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN '?q=' || source ELSE '' END)"
+    )
+
+
+def url_domain_stats_sql(table: str = "documents") -> str:
+    """Oracle for webtext.url_domain_stats — identical regex chain
+    (shared Java-regex/RE2 subset), identical rollup."""
+    return (
+        f"WITH u AS (SELECT n_chars, {_synth_url_sql()} AS url FROM {table}), "
+        "p AS (SELECT n_chars, url, "
+        "regexp_replace(regexp_extract(url, 'https?://([^/?]+)', 1), "
+        "'^www\\.', '') AS domain, "
+        "regexp_extract(url, 'https?://[^/?]+([^?]*)', 1) AS path FROM u), "
+        "q AS (SELECT n_chars, domain, "
+        "regexp_extract(domain, '\\.([A-Za-z]+)$', 1) AS tld, "
+        "CAST(length(path) - length(replace(path, '/', '')) AS BIGINT) AS depth, "
+        "CASE WHEN contains(url, '?') THEN 1 ELSE 0 END AS hq FROM p) "
+        "SELECT tld, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(DISTINCT domain) AS BIGINT) AS n_domains, "
+        "CAST(sum(hq) AS BIGINT) AS n_with_query, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+        "CAST(max(depth) AS BIGINT) AS max_depth "
+        "FROM q GROUP BY tld"
+    )
+
+
+def domain_cap_sql(table: str = "documents", k: int = 10) -> str:
+    """Oracle for webtext.domain_cap — same splitmix64 hash converted
+    to SIGNED int64 so the ORDER BY matches Spark's long ordering."""
+    from . import multimodal_sql as mm_sql
+
+    sm = mm_sql.splitmix64_sql(
+        "CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + "
+        f"{1 << 64} ELSE CAST(doc_id AS HUGEINT) END"
+    )
+    return (
+        f"WITH h0 AS (SELECT doc_id, source, {sm} AS hu FROM {table}), "
+        f"h AS (SELECT doc_id, source, CASE WHEN hu >= {1 << 63} "
+        f"THEN CAST(hu - {1 << 64} AS BIGINT) ELSE CAST(hu AS BIGINT) END "
+        "AS hh FROM h0) "
+        "SELECT doc_id, source, CAST(row_number() OVER "
+        "(PARTITION BY source ORDER BY hh, doc_id) AS BIGINT) AS rk "
+        f"FROM h QUALIFY rk <= {int(k)}"
+    )
+
+
+def length_histogram_sql(table: str = "documents") -> str:
+    """Oracle for webtext.length_histogram — same bin arithmetic
+    (n_chars >= 0, so floor-div == trunc-div)."""
+    w, nb = webtext._HIST_BIN_W, webtext._HIST_NBINS
+    return (
+        f"WITH b AS (SELECT lang, least(n_chars // {w}, {nb - 1}) AS bin "
+        f"FROM {table}) "
+        "SELECT lang, CAST(bin AS BIGINT) AS bin, "
+        f"CAST(bin * {w} AS BIGINT) AS lo, "
+        "CAST(count(*) AS BIGINT) AS n FROM b GROUP BY lang, bin"
+    )
+
+
+def cms_heavy_hitters_sql(table: str = "documents") -> str:
+    """Oracle for webtext.cms_heavy_hitters — same token hash, same
+    disjoint 10-bit bucket slices, exact integer counters, min over
+    ALL d rows (absent bucket = 0)."""
+    d, w = webtext._CMS_D, webtext._CMS_W
+    probes = ", ".join(
+        f"('{t}', {i})" for i, t in enumerate(webtext._CMS_PROBES)
+    )
+    bucket = (
+        f"CAST((h // CAST(power(2, 10 * r) AS HUGEINT)) % {w} AS INT)"
+    )
+    return (
+        f"WITH tk AS (SELECT {WS_TOKS_SQL} AS toks FROM {table}), "
+        "tl AS (SELECT unnest(toks) AS t FROM tk), "
+        "tc0 AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tl GROUP BY t), "
+        f"tc AS (SELECT t, n, {_token_hash_sql('t')} AS h FROM tc0), "
+        f"rs AS (SELECT CAST(r AS INT) AS r FROM range({d}) tbl(r)), "
+        f"ctr AS (SELECT r, {bucket} AS bucket, CAST(sum(n) AS BIGINT) AS cn "
+        "FROM tc, rs GROUP BY r, bucket), "
+        f"pb AS (SELECT * FROM (VALUES {probes}) v(token, pidx)), "
+        f"ph AS (SELECT token, pidx, {_token_hash_sql('token')} AS h FROM pb), "
+        f"pe AS (SELECT token, pidx, r, {bucket} AS bucket FROM ph, rs), "
+        "e AS (SELECT token, pidx, MIN(coalesce(cn, 0)) AS est_n "
+        "FROM pe LEFT JOIN ctr USING (r, bucket) GROUP BY token, pidx) "
+        "SELECT e.token, CAST(coalesce(tc.n, 0) AS BIGINT) AS true_n, "
+        "CAST(e.est_n AS BIGINT) AS est_n FROM e LEFT JOIN tc ON tc.t = e.token"
+    )

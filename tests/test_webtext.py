@@ -1347,3 +1347,75 @@ def test_hll_distinct_accuracy_and_merge_shape(spark):
         assert r["m_hit"] <= 256
         rel = abs(r["est_distinct"] - len(toks)) / len(toks)
         assert rel < 0.25, (src, r["est_distinct"], len(toks))
+
+
+def test_cms_overestimates_and_bounded_counters(spark):
+    """CMS invariant: est_n >= true_n for every probe token (min of d
+    counters each summing a superset of the token's occurrences), and
+    a present probe token is never estimated as zero."""
+    rows = [
+        (1, "the quick fox and the lazy dog see the table", "s1"),
+        (2, "a table a chair a lamp", "s1"),
+        (3, "spark hash join scan scan scan", "s2"),
+        (4, "value value key key key key", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["token"]: r for r in webtext.cms_heavy_hitters(df).collect()}
+    truth: dict = {}
+    for _, text, _ in rows:
+        for t in text.split():
+            truth[t] = truth.get(t, 0) + 1
+    assert set(out) == set(webtext._CMS_PROBES)
+    for tok, r in out.items():
+        assert r["true_n"] == truth.get(tok, 0), tok
+        assert r["est_n"] >= r["true_n"], tok
+        if r["true_n"] > 0:
+            assert r["est_n"] > 0
+
+
+def test_domain_cap_semantics(spark):
+    """At most k rows per source; kept set is the deterministic
+    splitmix64-order prefix (stable across re-runs and input order)."""
+    rows = [(i, "t", f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = webtext.domain_cap(df, k=7).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r)
+    assert all(len(v) <= 7 for v in per.values())
+    assert all(sorted(r["rk"] for r in v) == list(range(1, len(v) + 1))
+               for v in per.values())
+    # determinism under reversed input order
+    df2 = spark.createDataFrame(rows[::-1], "doc_id long, text string, source string")
+    out2 = webtext.domain_cap(df2, k=7).collect()
+    assert sorted((r["doc_id"], r["source"], r["rk"]) for r in out) == \
+        sorted((r["doc_id"], r["source"], r["rk"]) for r in out2)
+
+
+def test_length_histogram_exact_and_complete(spark):
+    """Bin counts sum to the corpus size; bin arithmetic clamps at the
+    last bin; lo edges are bin*width."""
+    rows = [(i, "x" * n, "s") for i, n in enumerate([0, 1, 15, 16, 17, 511, 512, 9999])]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df = df.withColumn("n_chars", F.length("text")).withColumn("lang", F.lit("en"))
+    out = webtext.length_histogram(df).collect()
+    assert sum(r["n"] for r in out) == len(rows)
+    by_bin = {r["bin"]: r for r in out}
+    assert by_bin[0]["n"] == 3          # 0, 1, 15
+    assert by_bin[1]["n"] == 2          # 16, 17
+    assert by_bin[31]["n"] == 3         # 511, 512, 9999 clamp
+    assert all(r["lo"] == r["bin"] * webtext._HIST_BIN_W for r in out)
+
+
+def test_url_domain_stats_shapes(spark):
+    """Every TLD row present; n_docs sums to corpus; depth in {1,2};
+    domains bounded by the 97-host synth space."""
+    rows = [(i, "t", f"s{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df = df.withColumn("n_chars", F.lit(10)).withColumn("lang", F.lit("en"))
+    out = webtext.url_domain_stats(df).collect()
+    assert sorted(r["tld"] for r in out) == sorted(webtext._URL_TLDS)
+    assert sum(r["n_docs"] for r in out) == 300
+    for r in out:
+        assert 1 <= r["max_depth"] <= 2
+        assert r["n_domains"] <= 97 * 2  # site{0..96} x (tld fixed per row group)
