@@ -32,6 +32,7 @@ from insideout_spark.plans.index_build import build_index  # noqa: E402
 from insideout_spark.plans.knn import knn_cell_join  # noqa: E402
 from insideout_spark.plans import asof as _asof  # noqa: E402
 from insideout_spark.plans import metrics as _metrics  # noqa: E402
+from insideout_spark.plans import graph as _graph  # noqa: E402
 from insideout_spark.plans import multimodal as mm  # noqa: E402
 from insideout_spark.plans import multimodal_sql as mm_sql  # noqa: E402
 from insideout_spark.plans.multimodal import extract_media_features, synth_media  # noqa: E402
@@ -770,6 +771,30 @@ def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.cms_heavy_hitters(_docs(spark, sf_dir))
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned-integer-weight quality classifier (r05 batch 4):
+    fasttext-style keep/drop on a fixed-point logit, zero shuffle."""
+    return webtext.quality_classifier(_docs(spark, sf_dir))
+
+
+def _q_bigram_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM counts (r05 batch 4): top-100 adjacent pairs with
+    context counts and P(w2|w1) as one long/long double division."""
+    return webtext.bigram_topk(_docs(spark, sf_dir), k=100)
+
+
+def _q_text_index_top200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (r05 batch 4): df/cf for the top-200
+    tokens by collection frequency + capped ascending postings."""
+    return webtext.text_index_topk(_docs(spark, sf_dir), k=200, postings_cap=20)
+
+
+def _q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the synthesized link graph (r05 batch 4):
+    3 unrolled fixed-point iterations, one shuffle per iteration."""
+    return _graph.pagerank(_docs(spark, sf_dir), iters=3)
+
+
 def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL nearest-neighbor resize over REAL decoded BMP pixels
     (r05); integer-exact sampling geometry so the oracle replays the
@@ -903,6 +928,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         "length_histogram": _q_length_histogram,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "quality_classifier": _q_quality_classifier,
+        "bigram_top100": _q_bigram_top100,
+        "text_index_top200": _q_text_index_top200,
+        "pagerank_3iter": _q_pagerank_3iter,
     }
 
 
@@ -1258,6 +1287,10 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": webtext_sql.domain_cap_sql(),
         "length_histogram": webtext_sql.length_histogram_sql(),
         "cms_heavy_hitters": webtext_sql.cms_heavy_hitters_sql(),
+        "quality_classifier": webtext_sql.quality_classifier_sql(),
+        "bigram_top100": webtext_sql.bigram_topk_sql(k=100),
+        "text_index_top200": webtext_sql.text_index_topk_sql(k=200, postings_cap=20),
+        "pagerank_3iter": webtext_sql.pagerank_sql(iters=3),
         # IVF: the sampled k-means TRAINING has no SQL form, but the
         # SERVING path does (VERDICT r02 'Next round' #1) — train once
         # from the gate's parquet (driver gate runs at sf0.01), pin the

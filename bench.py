@@ -220,6 +220,10 @@ def run_headline(spark) -> dict[str, float]:
         "sample_stratified",
         "mix_weights",
         "hll_distinct_tokens",
+        "quality_classifier",
+        "bigram_top100",
+        "text_index_top200",
+        "pagerank_3iter",
     ):
         q[name] = best_of(lambda n=name: queries[n](spark, SF_DIR).count())
 

@@ -2262,3 +2262,181 @@ def cms_heavy_hitters(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("est_n").cast("long").alias("est_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quality classifier, bigram LM counts, inverted text index
+# (round 5 batch 3; same exact-integer oracle discipline)
+# ---------------------------------------------------------------------------
+
+# Pinned logistic-regression weights (x1000 fixed-point). The sigmoid
+# is monotone, so classification thresholds on the INTEGER logit —
+# no transcendental crosses the engine boundary (the BM25-idf lesson).
+_QC_W = {
+    "bias": -2_000_000,
+    "n_tokens": 300,            # per token
+    "mean_len_x1000": 250,      # per 1/1000 char of mean token length
+    "stop_hits": 9_000,         # per EN stopword occurrence
+    "punct": -1_200,            # per .,!?;: character
+}
+_QC_TOKEN_CAP = 2_000  # contribution cap: past this, length says nothing
+
+
+def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality score — the fasttext-style classifier stage
+    of a curation pipeline, with PINNED integer weights so both engines
+    agree bit-for-bit: four integer features (token count capped at
+    2000, mean token length x1000, EN-stopword hits, punctuation
+    count), one fixed-point dot product, keep = logit >= 0. The
+    sigmoid is deliberately not materialized (monotone; thresholding
+    the logit is the same classifier — float exp() is the one step
+    that would differ across engines).
+
+    Scale shape: pure Catalyst per-row arithmetic, zero shuffle, whole
+    corpus in one codegen stage. Oracle: webtext_sql.quality_classifier_sql.
+    """
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks).cast("long")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
+    )
+    stop = sum(
+        (_word_hits(text_col, w) for w in EN_STOPWORDS), F.lit(0).cast("long")
+    )
+    punct = (
+        F.length(text_col)
+        - F.length(F.translate(F.col(text_col), ".,!?;:", ""))
+    ).cast("long")
+    feats = docs.select(
+        "doc_id",
+        n.alias("__n"),
+        (total_chars * 1000).alias("__tc1000"),
+        F.least(n, F.lit(_QC_TOKEN_CAP)).alias("f_tokens"),
+        stop.alias("f_stop_hits"),
+        punct.alias("f_punct"),
+    ).select(
+        "doc_id",
+        "f_tokens",
+        # integer floor-division (Spark `div` == DuckDB `//` on
+        # non-negatives); long/long would be DOUBLE division whose
+        # long-cast truncates in Spark but rounds in DuckDB
+        F.expr("CASE WHEN __n > 0 THEN __tc1000 div __n ELSE 0 END")
+        .alias("f_mean_len_x1000"),
+        "f_stop_hits",
+        "f_punct",
+    )
+    logit = (
+        F.lit(_QC_W["bias"]).cast("long")
+        + F.col("f_tokens") * _QC_W["n_tokens"]
+        + F.col("f_mean_len_x1000") * _QC_W["mean_len_x1000"]
+        + F.col("f_stop_hits") * _QC_W["stop_hits"]
+        + F.col("f_punct") * _QC_W["punct"]
+    )
+    return feats.select(
+        "doc_id",
+        "f_tokens",
+        "f_mean_len_x1000",
+        "f_stop_hits",
+        "f_punct",
+        logit.alias("logit_q"),
+        (logit >= 0).alias("keep"),
+    )
+
+
+def bigram_topk(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Bigram language-model counts: top-k adjacent token pairs with
+    their context (first-token) counts and the conditional probability
+    P(w2|w1) as ONE integer/integer double division (bit-identical
+    across engines — the BM25 arithmetic discipline).
+
+    Scale shape: bigram and context aggregations are both map-side
+    combinable (partials per partition, the shuffle carries distinct
+    bigrams/tokens, not occurrences); the top-k is ORDER BY + LIMIT =
+    TakeOrderedAndProject; the context join is on the post-limit k
+    rows (broadcast). Oracle: webtext_sql.bigram_topk_sql."""
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        docs.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_bigram"))
+        .orderBy(F.desc("n_bigram"), F.asc("bigram"))
+        .limit(k)
+    )
+    # context counts: occurrences of w1 as the FIRST element of any
+    # bigram (i.e. token occurrences excluding each doc's last token)
+    ctx = (
+        docs.select(
+            F.explode(
+                F.when(n >= 2, F.slice(toks, 1, n - 1))
+                .otherwise(F.array().cast("array<string>"))
+            ).alias("w1")
+        )
+        .groupBy("w1")
+        .agg(F.count("*").alias("n_context"))
+    )
+    out = bg.withColumn(
+        "w1", F.split(F.col("bigram"), " ", 2).getItem(0)
+    ).join(ctx, "w1")
+    return out.select(
+        "bigram",
+        "n_bigram",
+        "n_context",
+        (F.col("n_bigram").cast("double") / F.col("n_context").cast("double"))
+        .alias("p_cond"),
+    )
+
+
+def text_index_topk(
+    docs: DataFrame, text_col: str = "text", k: int = 200, postings_cap: int = 20
+) -> DataFrame:
+    """Inverted-index build — the text twin of the geo cell index
+    (reference index/db/db.go:33's postings-list shape): for the top-k
+    tokens by collection frequency, emit document frequency, collection
+    frequency, and the first `postings_cap` doc_ids (ascending) as a
+    comma-joined string (strings hash stably through the driver gate;
+    arrays don't).
+
+    Scale shape: ONE scan, two token-keyed shuffles, zero joins. The
+    (token, doc) partial agg is map-side combinable (its shuffle
+    carries distinct keys, not occurrences); the row_number window and
+    the per-token df/cf rollup share the token hash-partitioning, so
+    the window's Exchange is the rollup's too. Postings are capped by
+    the window BEFORE collect_list (collect_list skips the NULLs the
+    cap produces), so no executor ever materializes a stopword's full
+    doc list; the top-k is ORDER BY + LIMIT = TakeOrderedAndProject.
+    Oracle: webtext_sql.text_index_topk_sql."""
+    tok = F.explode(ws_tokens(F.col(text_col))).alias("token")
+    per_doc = (
+        docs.select("doc_id", tok)
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("rk") <= postings_cap, F.col("doc_id"))
+                    )
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy(F.desc("cf"), F.asc("token"))
+        .limit(k)
+        .select("token", "df", "cf", "postings")
+    )

@@ -911,3 +911,121 @@ def cms_heavy_hitters_sql(table: str = "documents") -> str:
         "SELECT e.token, CAST(coalesce(tc.n, 0) AS BIGINT) AS true_n, "
         "CAST(e.est_n AS BIGINT) AS est_n FROM e LEFT JOIN tc ON tc.t = e.token"
     )
+
+
+def _word_hits_sql(word: str) -> str:
+    """SQL twin of webtext._word_hits (padded-replace length arithmetic;
+    the division is exact so DuckDB's round-cast == Spark's trunc-cast)."""
+    needle = f" {word} "
+    return (
+        f"CAST((length(' ' || text || ' ') - "
+        f"length(replace(' ' || text || ' ', '{needle}', ''))) "
+        f"/ {len(needle)} AS BIGINT)"
+    )
+
+
+def quality_classifier_sql(table: str = "documents") -> str:
+    """Oracle for webtext.quality_classifier: same pinned integer
+    weights, same floor-division mean length (// == Spark div on
+    non-negatives), logit compared, never a sigmoid."""
+    w = webtext._QC_W
+    stop = " + ".join(_word_hits_sql(s) for s in webtext.EN_STOPWORDS)
+    logit = (
+        f"({w['bias']} + f_tokens * {w['n_tokens']} "
+        f"+ f_mean_len_x1000 * {w['mean_len_x1000']} "
+        f"+ f_stop_hits * {w['stop_hits']} + f_punct * ({w['punct']}))"
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, {WS_TOKS_SQL} AS toks, {stop} AS s_hits, "
+        "CAST(length(text) - length(translate(text, '.,!?;:', '')) AS BIGINT) "
+        f"AS p_cnt FROM {table}), "
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n, "
+        "CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) "
+        "AS BIGINT) AS tc, s_hits, p_cnt FROM t), "
+        f"f AS (SELECT doc_id, least(n, {webtext._QC_TOKEN_CAP}) AS f_tokens, "
+        "CASE WHEN n > 0 THEN (tc * 1000) // n ELSE 0 END AS f_mean_len_x1000, "
+        "s_hits AS f_stop_hits, p_cnt AS f_punct FROM m) "
+        "SELECT doc_id, f_tokens, f_mean_len_x1000, f_stop_hits, f_punct, "
+        f"CAST({logit} AS BIGINT) AS logit_q, {logit} >= 0 AS keep FROM f"
+    )
+
+
+def bigram_topk_sql(table: str = "documents", k: int = 100) -> str:
+    """Oracle for webtext.bigram_topk: same bigram/context counts and
+    ONE long/long double division for P(w2|w1) (bit-identical)."""
+    return (
+        f"WITH t AS (SELECT doc_id, {WS_TOKS_SQL} AS toks FROM {table}), "
+        "bg0 AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN "
+        "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) "
+        "ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM t), "
+        "bg AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_bigram "
+        f"FROM bg0 GROUP BY bigram ORDER BY n_bigram DESC, bigram LIMIT {k}), "
+        "cx0 AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN "
+        "toks[1:len(toks) - 1] ELSE CAST([] AS VARCHAR[]) END) AS w1 FROM t), "
+        "cx AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_context "
+        "FROM cx0 GROUP BY w1) "
+        "SELECT bigram, n_bigram, n_context, "
+        "CAST(n_bigram AS DOUBLE) / CAST(n_context AS DOUBLE) AS p_cond "
+        "FROM bg JOIN cx ON split_part(bigram, ' ', 1) = cx.w1"
+    )
+
+
+def text_index_topk_sql(
+    table: str = "documents", k: int = 200, postings_cap: int = 20
+) -> str:
+    """Oracle for webtext.text_index_topk: same (token, doc) partials,
+    df/cf rollup, cf-desc top-k, and ascending postings capped at
+    `postings_cap` before the string join."""
+    return (
+        f"WITH t AS (SELECT doc_id, {WS_TOKS_SQL} AS toks FROM {table}), "
+        "pd AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM "
+        "(SELECT doc_id, unnest(toks) AS token FROM t) GROUP BY token, doc_id), "
+        "top AS (SELECT token, CAST(count(*) AS BIGINT) AS df, "
+        "CAST(sum(tf) AS BIGINT) AS cf FROM pd GROUP BY token "
+        f"ORDER BY cf DESC, token LIMIT {k}), "
+        "pc AS (SELECT pd.token, pd.doc_id FROM pd JOIN top USING (token) "
+        "QUALIFY row_number() OVER (PARTITION BY pd.token ORDER BY pd.doc_id) "
+        f"<= {postings_cap}), "
+        "post AS (SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' "
+        "ORDER BY doc_id) AS postings FROM pc GROUP BY token) "
+        "SELECT top.token, df, cf, postings FROM top JOIN post USING (token)"
+    )
+
+
+def pagerank_sql(table: str = "documents", iters: int = 3) -> str:
+    """Oracle for graph.pagerank: same synthesized edge rule
+    (u -> (u*u + 31j) mod N, j in 1..3), same fixed-point integer
+    iteration unrolled as a CTE chain (// == Spark div on
+    non-negatives; no float ever)."""
+    from . import graph
+
+    scale, deg = graph.PR_SCALE, graph._OUT_DEG
+    base = (15 * scale) // 100
+    ctes = [
+        f"nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {table})",
+        f"nodes AS (SELECT doc_id FROM {table})",
+        "edges AS (SELECT doc_id AS src, "
+        f"CAST((doc_id * doc_id + 31 * j) % n AS BIGINT) AS dst "
+        f"FROM {table}, nn, (VALUES (1), (2), (3)) jj(j))",
+        f"r0 AS (SELECT doc_id, CAST({scale} AS BIGINT) AS rank_q FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"i{i} AS (SELECT dst, CAST(sum(rank_q // {deg}) AS BIGINT) AS s "
+            f"FROM edges JOIN r{i - 1} ON edges.src = r{i - 1}.doc_id "
+            "GROUP BY dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nd.doc_id, {base} + (85 * coalesce(s, 0)) // 100 "
+            f"AS rank_q FROM nodes nd LEFT JOIN i{i} ON nd.doc_id = i{i}.dst)"
+        )
+    ctes.append(
+        "deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_deg "
+        "FROM edges GROUP BY dst)"
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT r{iters}.doc_id, coalesce(deg.in_deg, 0) AS in_deg, "
+        f"CAST(r{iters}.rank_q AS BIGINT) AS rank_q "
+        f"FROM r{iters} LEFT JOIN deg ON r{iters}.doc_id = deg.dst"
+    )

@@ -1419,3 +1419,97 @@ def test_url_domain_stats_shapes(spark):
     for r in out:
         assert 1 <= r["max_depth"] <= 2
         assert r["n_domains"] <= 97 * 2  # site{0..96} x (tld fixed per row group)
+
+
+def test_quality_classifier_semantics(spark):
+    from insideout_spark.plans.webtext import quality_classifier
+
+    docs = spark.createDataFrame(
+        [
+            # long fluent English: many tokens + stopword hits -> keep
+            (0, ("the cat sat on the mat and the dog is in the house " * 40).strip()),
+            # short junk: few tokens, heavy punctuation -> drop
+            (1, "x!!! ??? ;;; ,,, ..."),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_classifier(docs).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["keep"] and rows[0]["logit_q"] >= 0
+    assert not rows[1]["keep"] and rows[1]["logit_q"] < 0
+    # empty doc: every feature 0 -> logit == bias
+    assert rows[2]["f_tokens"] == 0 and rows[2]["f_mean_len_x1000"] == 0
+    assert rows[2]["logit_q"] == -2_000_000
+    # feature arithmetic on a known doc
+    d = spark.createDataFrame([(9, "the aa bbb.")], "doc_id long, text string")
+    r = quality_classifier(d).collect()[0]
+    assert r["f_tokens"] == 3
+    # chars 3+2+4=9 (token 'bbb.' keeps the dot) -> 9000//3
+    assert r["f_mean_len_x1000"] == 3000
+    assert r["f_stop_hits"] == 1 and r["f_punct"] == 1
+
+
+def test_bigram_topk_counts_and_pcond(spark):
+    from insideout_spark.plans.webtext import bigram_topk
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r["bigram"]: r for r in bigram_topk(docs, k=10).collect()}
+    # doc0 bigrams: 'a b','b a','a b','b c'; doc1: 'a b'; doc2: none
+    assert rows["a b"]["n_bigram"] == 3
+    assert rows["b a"]["n_bigram"] == 1
+    assert rows["b c"]["n_bigram"] == 1
+    # contexts (non-last tokens): doc0 a,b,a,b  doc1 a -> a:3, b:2
+    assert rows["a b"]["n_context"] == 3
+    assert rows["a b"]["p_cond"] == 3 / 3
+    assert rows["b c"]["p_cond"] == 1 / 2
+    for r in rows.values():
+        assert 0 < r["p_cond"] <= 1
+        assert r["n_context"] >= r["n_bigram"]
+
+
+def test_text_index_topk_postings_capped_sorted(spark):
+    from insideout_spark.plans.webtext import text_index_topk
+
+    docs = spark.createDataFrame(
+        [(i, "common unique%d" % i) for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: r for r in
+           text_index_topk(docs, k=5, postings_cap=8).collect()}
+    assert len(out) == 5
+    c = out["common"]
+    assert c["df"] == 30 and c["cf"] == 30
+    posting_ids = [int(x) for x in c["postings"].split(",")]
+    # capped at 8, ascending, and exactly the 8 smallest doc_ids
+    assert posting_ids == list(range(8))
+    for r in out.values():
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert ids == sorted(ids) and len(ids) <= 8
+        assert r["df"] >= len(ids) if r["df"] > 8 else r["df"] == len(ids)
+
+
+def test_pagerank_integer_invariants(spark):
+    from insideout_spark.plans import graph
+
+    docs = spark.createDataFrame(
+        [(i, "d%d" % i) for i in range(64)], "doc_id long, text string"
+    )
+    out = graph.pagerank(docs, iters=3).collect()
+    assert len(out) == 64
+    # out-degree is exactly 3 -> total in-degree == 3N
+    assert sum(r["in_deg"] for r in out) == 3 * 64
+    base = (15 * graph.PR_SCALE) // 100
+    for r in out:
+        assert r["rank_q"] >= base  # base mass + non-negative inflow
+    # fixed-point total mass stays near N*SCALE (floor-div losses only)
+    total = sum(r["rank_q"] for r in out)
+    assert total <= 64 * graph.PR_SCALE
+    assert total >= int(64 * graph.PR_SCALE * 0.93)
+    # deterministic: second run bit-identical
+    out2 = graph.pagerank(docs, iters=3).collect()
+    assert sorted((r["doc_id"], r["rank_q"]) for r in out) == \
+        sorted((r["doc_id"], r["rank_q"]) for r in out2)
