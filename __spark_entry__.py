@@ -795,6 +795,12 @@ def _q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph.pagerank(_docs(spark, sf_dir), iters=3)
 
 
+def _q_pmi_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (r05 batch 4): top-100 pairs by the exact
+    integer PMI ratio (log-free ranking), min_count=5."""
+    return webtext.pmi_topk(_docs(spark, sf_dir), k=100, min_count=5)
+
+
 def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL nearest-neighbor resize over REAL decoded BMP pixels
     (r05); integer-exact sampling geometry so the oracle replays the
@@ -932,6 +938,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_top100": _q_bigram_top100,
         "text_index_top200": _q_text_index_top200,
         "pagerank_3iter": _q_pagerank_3iter,
+        "pmi_top100": _q_pmi_top100,
     }
 
 
@@ -1291,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_top100": webtext_sql.bigram_topk_sql(k=100),
         "text_index_top200": webtext_sql.text_index_topk_sql(k=200, postings_cap=20),
         "pagerank_3iter": webtext_sql.pagerank_sql(iters=3),
+        "pmi_top100": webtext_sql.pmi_topk_sql(k=100, min_count=5),
         # IVF: the sampled k-means TRAINING has no SQL form, but the
         # SERVING path does (VERDICT r02 'Next round' #1) — train once
         # from the gate's parquet (driver gate runs at sf0.01), pin the

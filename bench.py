@@ -224,6 +224,7 @@ def run_headline(spark) -> dict[str, float]:
         "bigram_top100",
         "text_index_top200",
         "pagerank_3iter",
+        "pmi_top100",
     ):
         q[name] = best_of(lambda n=name: queries[n](spark, SF_DIR).count())
 

@@ -2440,3 +2440,82 @@ def text_index_topk(
         .limit(k)
         .select("token", "df", "cf", "postings")
     )
+
+
+def pmi_topk(
+    docs: DataFrame, text_col: str = "text", k: int = 100, min_count: int = 5
+) -> DataFrame:
+    """PMI collocation mining — the classic phrase-detection stage of
+    an LM data pipeline (word2vec-style phrase merging). For adjacent
+    token pairs with n_ab >= min_count, rank by the PMI RATIO
+    n_ab * N / (n_w1 * n_w2) (PMI = log of it; log is monotone, so the
+    ranking is the same and no transcendental crosses the engine
+    boundary — the quality_classifier/BM25 discipline). Products run
+    exact in decimal(38,0) (HUGEINT in the oracle) and reach double
+    only for the one final division, so the value is bit-identical
+    across engines at any corpus size.
+
+    Scale shape: three map-side-combinable aggregations (pair counts,
+    first-position counts, second-position counts) whose shuffles
+    carry distinct keys, not occurrences; min_count prunes the pair
+    frame BEFORE the two vocab joins; the total-events N rides along
+    as a 1-row broadcast; the top-k is TakeOrderedAndProject.
+    Oracle: webtext_sql.pmi_topk_sql."""
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    firsts = F.when(n >= 2, F.slice(toks, 1, n - 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+    seconds = F.when(n >= 2, F.slice(toks, 2, n - 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    c1 = (
+        docs.select(F.explode(firsts).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("n_w1"))
+    )
+    c2 = (
+        docs.select(F.explode(seconds).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count("*").alias("n_w2"))
+    )
+    tot = docs.agg(
+        F.sum(F.greatest(n - 1, F.lit(0)).cast("long")).alias("n_events")
+    )
+    dec = "decimal(38,0)"
+    return (
+        bg.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_w1").cast("long").alias("n_w1"),
+            F.col("n_w2").cast("long").alias("n_w2"),
+            "n_events",
+            (
+                (F.col("n_ab").cast(dec) * F.col("n_events").cast(dec))
+                .cast("double")
+                / (F.col("n_w1").cast(dec) * F.col("n_w2").cast(dec))
+                .cast("double")
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

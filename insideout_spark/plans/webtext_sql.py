@@ -1029,3 +1029,31 @@ def pagerank_sql(table: str = "documents", iters: int = 3) -> str:
         f"CAST(r{iters}.rank_q AS BIGINT) AS rank_q "
         f"FROM r{iters} LEFT JOIN deg ON r{iters}.doc_id = deg.dst"
     )
+
+
+def pmi_topk_sql(
+    table: str = "documents", k: int = 100, min_count: int = 5
+) -> str:
+    """Oracle for webtext.pmi_topk: same three count aggregations,
+    exact HUGEINT products, ONE double division (bit-identical)."""
+    return (
+        f"WITH t AS (SELECT doc_id, {WS_TOKS_SQL} AS toks FROM {table}), "
+        "pr AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN "
+        "list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i + 1]}) "
+        "ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[]) END) AS p FROM t), "
+        "bg AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS n_ab "
+        f"FROM pr GROUP BY p.w1, p.w2 HAVING count(*) >= {min_count}), "
+        "c1 AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN toks[1:len(toks) - 1] "
+        "ELSE CAST([] AS VARCHAR[]) END) AS w1 FROM t), "
+        "g1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_w1 FROM c1 GROUP BY w1), "
+        "c2 AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN toks[2:len(toks)] "
+        "ELSE CAST([] AS VARCHAR[]) END) AS w2 FROM t), "
+        "g2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_w2 FROM c2 GROUP BY w2), "
+        "tot AS (SELECT CAST(coalesce(sum(greatest(len(toks) - 1, 0)), 0) "
+        "AS BIGINT) AS n_events FROM t) "
+        "SELECT bg.w1, bg.w2, n_ab, n_w1, n_w2, n_events, "
+        "CAST(CAST(n_ab AS HUGEINT) * n_events AS DOUBLE) / "
+        "CAST(CAST(n_w1 AS HUGEINT) * n_w2 AS DOUBLE) AS pmi_ratio "
+        "FROM bg JOIN g1 USING (w1) JOIN g2 USING (w2) CROSS JOIN tot "
+        f"ORDER BY pmi_ratio DESC, w1, w2 LIMIT {k}"
+    )

@@ -1513,3 +1513,25 @@ def test_pagerank_integer_invariants(spark):
     out2 = graph.pagerank(docs, iters=3).collect()
     assert sorted((r["doc_id"], r["rank_q"]) for r in out) == \
         sorted((r["doc_id"], r["rank_q"]) for r in out2)
+
+
+def test_pmi_topk_exact_ratio(spark):
+    from insideout_spark.plans.webtext import pmi_topk
+
+    # 'new york' always collocated; 'the' everywhere -> low PMI
+    docs = spark.createDataFrame(
+        [(i, "the cat saw new york and the dog") for i in range(5)]
+        + [(9, "the end")],
+        "doc_id long, text string",
+    )
+    rows = {(r["w1"], r["w2"]): r for r in
+            pmi_topk(docs, k=50, min_count=2).collect()}
+    ny = rows[("new", "york")]
+    # 5 docs x 7 bigram events + 1 doc x 1 event = 36 events
+    assert ny["n_events"] == 36
+    assert ny["n_ab"] == 5 and ny["n_w1"] == 5 and ny["n_w2"] == 5
+    assert ny["pmi_ratio"] == 5 * 36 / (5 * 5)
+    # common-word pair ranks strictly below the perfect collocation
+    assert rows[("the", "cat")]["pmi_ratio"] < ny["pmi_ratio"]
+    # min_count prunes: ('the','end') occurs once
+    assert ("the", "end") not in rows
