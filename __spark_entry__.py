@@ -801,6 +801,17 @@ def _q_pmi_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.pmi_topk(_docs(spark, sf_dir), k=100, min_count=5)
 
 
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ / ADC ANN (r05 batch 4): per-subspace codebooks trained on a
+    deterministic sample, all-integer serving (codes + ADC sums)."""
+    books = webtext.pq_codebooks_from_parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    return webtext.ann_pq(
+        _embs(spark, sf_dir), _ANN_QUERY_IDS, k=10, codebooks=books
+    )
+
+
 def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL nearest-neighbor resize over REAL decoded BMP pixels
     (r05); integer-exact sampling geometry so the oracle replays the
@@ -939,6 +950,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_top200": _q_text_index_top200,
         "pagerank_3iter": _q_pagerank_3iter,
         "pmi_top100": _q_pmi_top100,
+        "ann_pq_top10": _q_ann_pq,
     }
 
 
@@ -1299,6 +1311,13 @@ def oracle_sql() -> dict[str, str]:
         "text_index_top200": webtext_sql.text_index_topk_sql(k=200, postings_cap=20),
         "pagerank_3iter": webtext_sql.pagerank_sql(iters=3),
         "pmi_top100": webtext_sql.pmi_topk_sql(k=100, min_count=5),
+        "ann_pq_top10": webtext_sql.ann_pq_sql(
+            _ANN_QUERY_IDS,
+            webtext.pq_codebooks_from_parquet(
+                os.path.join(_ORACLE_SF_DIR, "embeddings.parquet")
+            ),
+            k=10,
+        ),
         # IVF: the sampled k-means TRAINING has no SQL form, but the
         # SERVING path does (VERDICT r02 'Next round' #1) — train once
         # from the gate's parquet (driver gate runs at sf0.01), pin the

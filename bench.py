@@ -225,6 +225,7 @@ def run_headline(spark) -> dict[str, float]:
         "text_index_top200",
         "pagerank_3iter",
         "pmi_top100",
+        "ann_pq_top10",
     ):
         q[name] = best_of(lambda n=name: queries[n](spark, SF_DIR).count())
 

@@ -2519,3 +2519,153 @@ def pmi_topk(
         .orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def _pq_train(
+    mat: np.ndarray, m: int, ks: int, iters: int = 8, seed: int = 20240303
+) -> np.ndarray:
+    """Deterministic per-subspace L2 k-means; returns (m, ks, d/m)
+    codebooks QUANTIZED to 20-bit integer-valued float64. Training is
+    plain float numpy (never cross-engine); only SERVING arithmetic is
+    exact-integer, with the trained codebooks pinned as literals in
+    the oracle (the _ivf_train convention)."""
+    n, d = mat.shape
+    ds = d // int(m)
+    rng = np.random.default_rng(seed)
+    books = []
+    for s in range(int(m)):
+        sub = mat[:, s * ds:(s + 1) * ds]
+        k_eff = min(int(ks), len(sub))
+        cents = sub[rng.choice(len(sub), k_eff, replace=False)].copy()
+        for _ in range(int(iters)):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k_eff):
+                sel = sub[assign == c]
+                if len(sel):
+                    cents[c] = sel.mean(axis=0)
+        books.append(cents)
+    return _quantize(np.stack(books))
+
+
+_PQ_CODEBOOK_CACHE: dict = {}
+
+
+def pq_codebooks_from_parquet(
+    path: str,
+    m: int = 8,
+    ks: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Quantized PQ codebooks trained from a deterministic sample of a
+    parquet embeddings table (lowest `sample` ids, driver-side pyarrow
+    read) so oracle_sql() can pin the identical codebooks the Spark
+    query serves with — the ivf_centroids_from_parquet pattern."""
+    key = (os.path.abspath(path), m, ks, sample, iters, vec_col, id_col)
+    if key not in _PQ_CODEBOOK_CACHE:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=[id_col, vec_col]).to_pandas()
+        t = t.sort_values(id_col).head(int(sample))
+        mat = np.array(t[vec_col].tolist(), dtype=np.float64)
+        _PQ_CODEBOOK_CACHE[key] = _pq_train(mat, m, ks, iters)
+    return _PQ_CODEBOOK_CACHE[key]
+
+
+def ann_pq(
+    embeddings: DataFrame,
+    query_ids,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 4096,
+    kmeans_iters: int = 8,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance computation) —
+    the memory-bound billion-scale recipe (Jegou et al., TPAMI 2011):
+    each vector compresses to m sub-codes (one byte-ish each); a query
+    precomputes an (m x ks) distance table and every candidate costs m
+    table lookups instead of a d-dim dot product.
+
+    Serving is ENTIRELY integer: vectors and codebooks are
+    20-bit-quantized, codes are argmin of exact integer squared L2
+    (np.argmin takes the FIRST min == oracle's ORDER BY d, c), ADC
+    distance is an exact int64 sum of table entries — no float ever
+    crosses the engine boundary (stricter than IVF's one sqrt).
+
+    Scale shape: ONE Arrow pass over the corpus (encode + ADC lookup
+    fused, so codes never shuffle), queries and tables ride a
+    broadcast, top-k is a window over |queries| x corpus rows pruned
+    to k per query. At 100 TB the encode pass is the same single scan;
+    codes would be persisted once per corpus and reused per query
+    batch. Oracle: webtext_sql.ann_pq_sql (codebooks pinned as VALUES).
+    """
+    spark = embeddings.sparkSession
+    if codebooks is None:
+        rows = (
+            embeddings.select(id_col, vec_col)
+            .orderBy(id_col).limit(int(sample)).collect()
+        )
+        mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+        codebooks = _pq_train(mat, m, ks, kmeans_iters)
+    cb = np.asarray(codebooks, dtype=np.int64)  # (m, ks_eff, ds)
+    m_eff, ks_eff, ds = cb.shape
+    qset = [int(q) for q in query_ids]
+    qrows = (
+        embeddings.filter(F.col(id_col).isin(qset))
+        .select(id_col, vec_col).collect()
+    )  # bounded by len(query_ids)
+    qids = [int(r[id_col]) for r in qrows]
+    qmat = _quantize(
+        np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    ).astype(np.int64)
+    # per-query ADC tables: (m, ks) exact int64
+    tables = [
+        ((q.reshape(m_eff, ds)[:, None, :] - cb) ** 2).sum(-1) for q in qmat
+    ]
+    bc = spark.sparkContext.broadcast((cb, qids, tables))
+
+    def scan(batches):
+        import pandas as pd
+
+        cb, qids, tables = bc.value
+        m_eff, ks_eff, ds = cb.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = _quantize(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ).astype(np.int64)
+            vs = v.reshape(len(v), m_eff, ds)
+            d2 = ((vs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1)
+            codes = np.argmin(d2, axis=2)  # (b, m): first min == min c
+            ids = pdf[id_col].to_numpy()
+            sub = np.arange(m_eff)[None, :]
+            for qid, table in zip(qids, tables):
+                dist = table[sub, codes].sum(axis=1)
+                keep = ids != qid
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(int(keep.sum()), qid, np.int64),
+                        "neighbor_id": ids[keep].astype(np.int64),
+                        "dist_q": dist[keep].astype(np.int64),
+                    }
+                )
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        scan, "query_id long, neighbor_id long, dist_q long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "rank", "dist_q")
+    )

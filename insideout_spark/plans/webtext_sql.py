@@ -1057,3 +1057,47 @@ def pmi_topk_sql(
         "FROM bg JOIN g1 USING (w1) JOIN g2 USING (w2) CROSS JOIN tot "
         f"ORDER BY pmi_ratio DESC, w1, w2 LIMIT {k}"
     )
+
+
+def ann_pq_sql(query_ids, codebooks, k: int = 10, table: str = "embeddings") -> str:
+    """Oracle for webtext.ann_pq: trained codebooks pinned as literal
+    VALUES (the IVF convention); DuckDB re-derives every vector's
+    sub-codes by exact integer argmin (ORDER BY d, c == np.argmin
+    first-min) and replays the integer ADC sum — no float anywhere."""
+    import numpy as np
+
+    cb = np.asarray(codebooks).astype(np.int64)
+    m, ks, ds = cb.shape
+    values = ", ".join(
+        f"({s}, {c}, [{', '.join(str(int(x)) for x in cb[s, c])}])"
+        for s in range(m)
+        for c in range(ks)
+    )
+    qin = ", ".join(str(int(q)) for q in query_ids)
+
+    def l2(vec_expr: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {ds + 1}), "
+            f"i -> ({vec_expr}[cb.s * {ds} + i] - cv[i]) * "
+            f"({vec_expr}[cb.s * {ds} + i] - cv[i])))"
+        )
+
+    return (
+        "WITH e AS (SELECT vec_id, list_transform("
+        f"{_quant_list_sql('CAST(embedding AS DOUBLE[])')}, "
+        f"x -> CAST(x AS BIGINT)) AS v FROM {table}), "
+        f"cb AS (SELECT * FROM (VALUES {values}) t(s, c, cv)), "
+        f"enc AS (SELECT e.vec_id, cb.s, cb.c, {l2('v')} AS d FROM e, cb), "
+        "codes AS (SELECT vec_id, s, c FROM enc QUALIFY "
+        "row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) = 1), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({qin})), "
+        f"qt AS (SELECT query_id, cb.s, cb.c, {l2('qv')} AS td FROM q, cb), "
+        "dist AS (SELECT qt.query_id, codes.vec_id AS neighbor_id, "
+        "CAST(sum(td) AS BIGINT) AS dist_q FROM codes "
+        "JOIN qt ON codes.s = qt.s AND codes.c = qt.c "
+        "WHERE codes.vec_id != qt.query_id "
+        "GROUP BY qt.query_id, codes.vec_id) "
+        "SELECT query_id, neighbor_id, CAST(row_number() OVER "
+        "(PARTITION BY query_id ORDER BY dist_q, neighbor_id) AS INT) AS rank, "
+        f"dist_q FROM dist QUALIFY rank <= {k}"
+    )

@@ -1535,3 +1535,44 @@ def test_pmi_topk_exact_ratio(spark):
     assert rows[("the", "cat")]["pmi_ratio"] < ny["pmi_ratio"]
     # min_count prunes: ('the','end') occurs once
     assert ("the", "end") not in rows
+
+
+def test_ann_pq_exact_twin_and_rank_invariants(spark):
+    import numpy as np
+
+    from insideout_spark.plans.webtext import _pq_train, ann_pq
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    # vec 20 is vec 0's exact twin -> identical codes -> ADC dist 0
+    base[20] = base[0]
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = _pq_train(
+        np.array([r[1] for r in rows], dtype=np.float64), m=4, ks=8
+    )
+    out = ann_pq(embs, [0, 5], k=10, m=4, ks=8, codebooks=books).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, 11))
+        dists = [r["dist_q"] for r in rs]
+        assert dists == sorted(dists)
+        assert all(r["neighbor_id"] != qid for r in rs)
+    # the exact twin shares query 0's codes, so it attains the MINIMAL
+    # possible ADC distance (ADC measures query->centroid residual,
+    # never 0 unless the query sits on its centroids) and ranks first
+    from insideout_spark.plans.webtext import _quantize
+
+    top0 = by_q[0][0]
+    assert top0["neighbor_id"] == 20
+    q0 = _quantize(
+        np.array(
+            embs.filter("vec_id = 0").collect()[0]["embedding"], np.float64
+        )
+    ).astype(np.int64)
+    cb = np.asarray(books, dtype=np.int64)
+    table = ((q0.reshape(4, 4)[:, None, :] - cb) ** 2).sum(-1)
+    assert top0["dist_q"] == int(table.min(axis=1).sum())
