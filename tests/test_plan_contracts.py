@@ -90,3 +90,62 @@ def test_curation_pipeline_one_scan_no_joins(spark):
     p = _plan(curate_text_pipeline(_docs(spark)))
     assert p.count("Exchange") == 1  # only the packing bucket shuffle
     assert "Join" not in p
+
+
+def test_quality_classifier_zero_shuffle(spark):
+    p = _plan(webtext.quality_classifier(_docs(spark)))
+    assert "Exchange" not in p
+
+
+def test_text_index_single_pass_no_joins(spark):
+    """Inverted-index build: one scan, token-keyed shuffles only, and
+    ZERO joins (the window cap and the df/cf rollup share the token
+    partitioning; postings capped before collect_list)."""
+    p = _plan(webtext.text_index_topk(_docs(spark), k=5, postings_cap=3))
+    assert "TakeOrderedAndProject" in p
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in p
+    assert p.count("Exchange") <= 2
+
+
+def test_bigram_topk_take_ordered_broadcast_ctx(spark):
+    """The context join runs on the post-limit k rows — it must be a
+    broadcast, never a sort-merge of two corpus-scale frames."""
+    p = _plan(webtext.bigram_topk(_docs(spark), k=5))
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pmi_topk_take_ordered_no_cartesian(spark):
+    p = _plan(webtext.pmi_topk(_docs(spark), k=5, min_count=1))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    # the 1-row totals frame rides a broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_pagerank_no_cartesian_no_collect(spark):
+    from insideout_spark.plans import graph
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(32)], "doc_id long, text string"
+    )
+    p = _plan(graph.pagerank(df, iters=2))
+    assert "CartesianProduct" not in p
+
+
+def test_ann_pq_single_arrow_pass(spark):
+    import numpy as np
+
+    from insideout_spark.plans.webtext import _pq_train, ann_pq
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(30)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = _pq_train(np.array([r[1] for r in rows]), m=4, ks=4)
+    p = _plan(ann_pq(embs, [0], k=5, m=4, ks=4, codebooks=books))
+    # encode+ADC is ONE fused python pass; the only exchange feeds the
+    # per-query top-k window
+    assert p.count("MapInPandas") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p
