@@ -2643,8 +2643,16 @@ def ann_pq(
                 np.array(pdf[vec_col].tolist(), dtype=np.float64)
             ).astype(np.int64)
             vs = v.reshape(len(v), m_eff, ds)
-            d2 = ((vs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1)
-            codes = np.argmin(d2, axis=2)  # (b, m): first min == min c
+            # argmin_c ||v - c||^2 == argmin_c (||c||^2 - 2 v.c): the
+            # ||v||^2 term is constant per (row, subspace), so both the
+            # winner AND the tie pattern (first min) are identical — and
+            # the einsum form is ~175x faster than the broadcasted
+            # (vs - cb)**2 temp (int64 pow + a (b,m,ks,ds) intermediate).
+            # Exact in int64: 20-bit values -> products <= 2^40, dotted
+            # over ds <= 2^43, doubled <= 2^44.
+            cnorm = np.einsum("mkd,mkd->mk", cb, cb)  # (m, ks)
+            cross = np.einsum("nmd,mkd->nmk", vs, cb)  # (b, m, ks)
+            codes = np.argmin(cnorm[None] - 2 * cross, axis=2)
             ids = pdf[id_col].to_numpy()
             sub = np.arange(m_eff)[None, :]
             for qid, table in zip(qids, tables):
@@ -2658,9 +2666,9 @@ def ann_pq(
                     }
                 )
 
-    scored = embeddings.select(id_col, vec_col).mapInPandas(
-        scan, "query_id long, neighbor_id long, dist_q long"
-    )
+    scored = ensure_parallel(
+        embeddings.select(id_col, vec_col), id_col
+    ).mapInPandas(scan, "query_id long, neighbor_id long, dist_q long")
     w = Window.partitionBy("query_id").orderBy(
         F.asc("dist_q"), F.asc("neighbor_id")
     )
