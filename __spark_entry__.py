@@ -701,6 +701,14 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.decontaminate_split(_docs(spark, sf_dir))
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup (r05 batch 5): cross-corpus
+    keep-first segment dedup + ordered document reassembly, one
+    segment-keyed window + one doc groupBy, zero Python. Past the
+    driver's 50-entry window; gated by jobs/local_gate.py."""
+    return webtext.paragraph_dedup(_docs(spark, sf_dir), seg_tokens=10)
+
+
 def _q_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-span detection (r05, the Lee-et-al exact-substring
     dedup signal): per-doc fraction of k-token windows whose rolling
@@ -937,6 +945,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": _q_dup_span,
         "dedup_keep_best": _q_dedup_keep_best,
         "decontaminate_split": _q_decontaminate,
+        "paragraph_dedup": _q_paragraph_dedup,
         "pii_redact": _q_pii_redact,
         "sample_stratified": _q_sample_stratified,
         "mix_weights": _q_mix_weights,
@@ -1298,6 +1307,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": webtext_sql.dup_span_sql(),
         "dedup_keep_best": webtext_sql.dedup_keep_best_sql(),
         "decontaminate_split": webtext_sql.decontaminate_split_sql(),
+        "paragraph_dedup": webtext_sql.paragraph_dedup_sql(seg_tokens=10),
         "pii_redact": webtext_sql.pii_redact_sql(),
         "sample_stratified": webtext_sql.sample_stratified_sql(),
         "mix_weights": webtext_sql.mix_weights_sql(),

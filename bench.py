@@ -215,6 +215,7 @@ def run_headline(spark) -> dict[str, float]:
         "video_frame_pixel_features",
         "image_resize_features",
         "dup_span_stats",
+        "paragraph_dedup",
         "emb_near_dup_pairs",
         "pii_redact",
         "sample_stratified",

@@ -2521,6 +2521,66 @@ def pmi_topk(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame, text_col: str = "text", seg_tokens: int = 10
+) -> DataFrame:
+    """CCNet-style cross-corpus paragraph dedup (Wenzek et al., LREC
+    2020): hash every paragraph, keep the globally FIRST occurrence of
+    each distinct paragraph, drop later copies, and reassemble each
+    document from its surviving paragraphs in order — the standard
+    boilerplate-removal stage between raw extraction and doc-level
+    near-dup. This corpus has no newline structure, so a "paragraph"
+    is a consecutive `seg_tokens`-token window (at web scale the
+    splitter would be '\\n\\n'; everything downstream is identical).
+
+    Keep-first is deterministic: the winner of each distinct segment
+    is min (doc_id, seg_no) — row_number over ONE segment-keyed
+    shuffle. Scale shape: explode (no shuffle) -> one hash-partitioned
+    window on the segment value (groups are duplicate sets, tiny) ->
+    one doc_id groupBy to reassemble. Zero Python, zero joins; at
+    100 TB this is two shuffles of the segment table, the same plan
+    CCNet runs as a hash-shard sort. Oracle:
+    webtext_sql.paragraph_dedup_sql (lockstep segmentation + window).
+    """
+    st = int(seg_tokens)
+    toks = ws_tokens(F.col(text_col))
+    nseg = F.floor((F.size(toks) + F.lit(st - 1)) / F.lit(st)).cast("int")
+    segs = F.when(
+        nseg >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda g: F.struct(
+                g.cast("int").alias("seg_no"),
+                F.array_join(
+                    F.slice(toks, g * st + 1, st), " "
+                ).alias("seg"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<seg_no:int,seg:string>>"))
+    ex = docs.select(F.col("doc_id"), F.explode(segs).alias("s")).select(
+        "doc_id", "s.seg_no", "s.seg"
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_no")
+    ranked = ex.withColumn("rn", F.row_number().over(w))
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("seg_no", "rn", "seg"))),
+        lambda x: x["rn"] == 1,
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("segs_total"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("segs_kept"),
+            F.array_join(
+                F.transform(kept, lambda x: x["seg"]), " "
+            ).alias("text_dedup"),
+        )
+        .select("doc_id", "segs_total", "segs_kept", "text_dedup")
+    )
+
+
 def _pq_train(
     mat: np.ndarray, m: int, ks: int, iters: int = 8, seed: int = 20240303
 ) -> np.ndarray:

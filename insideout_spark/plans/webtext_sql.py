@@ -1101,3 +1101,28 @@ def ann_pq_sql(query_ids, codebooks, k: int = 10, table: str = "embeddings") -> 
         "(PARTITION BY query_id ORDER BY dist_q, neighbor_id) AS INT) AS rank, "
         f"dist_q FROM dist QUALIFY rank <= {k}"
     )
+
+
+def paragraph_dedup_sql(table: str = "documents", seg_tokens: int = 10) -> str:
+    """Oracle for webtext.paragraph_dedup: lockstep segmentation
+    (consecutive seg_tokens-token windows over WS_TOKS_SQL), the same
+    keep-first window (row_number over segment, ordered doc_id,
+    seg_no), and ordered reassembly. string_agg skips the NULLed
+    dropped segments; COALESCE matches Spark's array_join('') on
+    all-dropped docs."""
+    st = int(seg_tokens)
+    return (
+        f"WITH t AS (SELECT doc_id, {WS_TOKS_SQL} AS toks FROM {table}), "
+        "g AS (SELECT doc_id, toks, unnest(range(0, "
+        f"(len(toks) + {st - 1}) // {st})) AS g FROM t), "
+        "segs AS (SELECT doc_id, CAST(g AS INT) AS seg_no, "
+        f"array_to_string(toks[(g * {st} + 1):(g * {st} + {st})], ' ') AS seg "
+        "FROM g), "
+        "ranked AS (SELECT doc_id, seg_no, seg, row_number() OVER "
+        "(PARTITION BY seg ORDER BY doc_id, seg_no) AS rn FROM segs) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS segs_total, "
+        "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS segs_kept, "
+        "coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' "
+        "ORDER BY seg_no), '') AS text_dedup "
+        "FROM ranked GROUP BY doc_id"
+    )

@@ -149,3 +149,14 @@ def test_ann_pq_single_arrow_pass(spark):
     assert p.count("MapInPandas") == 1
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert j not in p
+
+
+def test_paragraph_dedup_two_shuffles_no_joins(spark):
+    """paragraph_dedup's 100 TB shape: explode -> ONE segment-keyed
+    window shuffle -> ONE doc_id groupBy shuffle. No joins, no Python
+    on the path, no global sort of the segment table."""
+    p = _plan(webtext.paragraph_dedup(_docs(spark), seg_tokens=4))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") <= 2

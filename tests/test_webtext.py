@@ -1033,6 +1033,40 @@ def test_dup_span_stats_known_corpus(spark):
     assert got[5]["n_windows"] == 13 and got[5]["n_dup_windows"] == 0
 
 
+def test_paragraph_dedup_keep_first_and_reassembly(spark):
+    """Hand-checked CCNet-style paragraph dedup (seg_tokens=4): the
+    globally-first occurrence of a duplicated segment (min doc_id,
+    seg_no) survives, all later copies drop, and each doc is rebuilt
+    from its surviving segments in original order."""
+    from insideout_spark.plans import webtext
+
+    seg = "p q r s"  # one full 4-token segment
+    rows = [
+        (1, seg + " a1 a2 a3 a4"),          # segs: [seg, "a1 a2 a3 a4"]
+        (2, "b1 b2 b3 b4 " + seg),          # second copy of seg -> drops
+        (3, seg),                            # third copy -> drops entirely
+        (4, "c1 c2 c3 c4 c5"),               # ragged tail segment "c5"
+        (5, seg + " " + seg),                # self-dup: later seg drops
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in webtext.paragraph_dedup(docs, seg_tokens=4).collect()
+    }
+    assert (got[1]["segs_total"], got[1]["segs_kept"]) == (2, 2)
+    assert got[1]["text_dedup"] == seg + " a1 a2 a3 a4"
+    assert (got[2]["segs_total"], got[2]["segs_kept"]) == (2, 1)
+    assert got[2]["text_dedup"] == "b1 b2 b3 b4"
+    # doc 3 is all-duplicate: present with empty rebuilt text
+    assert (got[3]["segs_total"], got[3]["segs_kept"]) == (1, 0)
+    assert got[3]["text_dedup"] == ""
+    # ragged tail is its own segment
+    assert (got[4]["segs_total"], got[4]["segs_kept"]) == (2, 2)
+    assert got[4]["text_dedup"] == "c1 c2 c3 c4 c5"
+    # within-doc repeat: first copy keeps, second drops
+    assert (got[5]["segs_total"], got[5]["segs_kept"]) == (2, 0)
+
+
 def test_resize_image_features_real_nn(spark):
     """resize_image_features samples the REAL decoded pixels: per doc,
     the resized raster equals a hand-computed nearest-neighbor sample
