@@ -33,6 +33,7 @@ from insideout_spark.plans.knn import knn_cell_join  # noqa: E402
 from insideout_spark.plans import asof as _asof  # noqa: E402
 from insideout_spark.plans import metrics as _metrics  # noqa: E402
 from insideout_spark.plans import graph as _graph  # noqa: E402
+from insideout_spark.plans import ids as _ids  # noqa: E402
 from insideout_spark.plans import multimodal as mm  # noqa: E402
 from insideout_spark.plans import multimodal_sql as mm_sql  # noqa: E402
 from insideout_spark.plans.multimodal import extract_media_features, synth_media  # noqa: E402
@@ -701,6 +702,31 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.decontaminate_split(_docs(spark, sf_dir))
 
 
+def _q_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ordinal + training-shard assignment (r05 batch 5)
+    WITHOUT a single-partition global sort: range partition ->
+    per-partition counts -> offset + local rank, all JVM-side. The
+    oracle is the one-window spelling DuckDB can afford at gate scale.
+    Past the driver's 50-entry window; gated by jobs/local_gate.py."""
+    return _ids.global_ordinals(
+        _docs(spark, sf_dir), order_col="doc_id", shard_size=1000
+    ).select("doc_id", "ordinal", "shard_id")
+
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (r05 batch 5): new batch = doc_id % 10
+    == 7, corpus = the rest with its signatures precomputed (standing
+    in for a save_signatures table — no corpus text rescan). Past the
+    driver's 50-entry window; gated by jobs/local_gate.py."""
+    docs = _docs(spark, sf_dir)
+    new_docs = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    corpus_sigs = webtext.minhash_signatures(corpus)
+    return webtext.dedup_incremental(
+        new_docs, corpus_sigs, threshold=0.35
+    )
+
+
 def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style paragraph dedup (r05 batch 5): cross-corpus
     keep-first segment dedup + ordered document reassembly, one
@@ -946,6 +972,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "decontaminate_split": _q_decontaminate,
         "paragraph_dedup": _q_paragraph_dedup,
+        "dedup_incremental": _q_dedup_incremental,
+        "global_ordinals": _q_global_ordinals,
         "pii_redact": _q_pii_redact,
         "sample_stratified": _q_sample_stratified,
         "mix_weights": _q_mix_weights,
@@ -1308,6 +1336,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": webtext_sql.dedup_keep_best_sql(),
         "decontaminate_split": webtext_sql.decontaminate_split_sql(),
         "paragraph_dedup": webtext_sql.paragraph_dedup_sql(seg_tokens=10),
+        "dedup_incremental": webtext_sql.dedup_incremental_sql(threshold=0.35),
+        "global_ordinals": webtext_sql.global_ordinals_sql(shard_size=1000),
         "pii_redact": webtext_sql.pii_redact_sql(),
         "sample_stratified": webtext_sql.sample_stratified_sql(),
         "mix_weights": webtext_sql.mix_weights_sql(),

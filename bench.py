@@ -216,6 +216,8 @@ def run_headline(spark) -> dict[str, float]:
         "image_resize_features",
         "dup_span_stats",
         "paragraph_dedup",
+        "global_ordinals",
+        "dedup_incremental",
         "emb_near_dup_pairs",
         "pii_redact",
         "sample_stratified",

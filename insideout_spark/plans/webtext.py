@@ -466,6 +466,46 @@ def save_signatures(
     minhash_signatures(docs, text_col, k).write.mode(mode).parquet(path)
 
 
+def _sig_bands(sigs: DataFrame) -> DataFrame:
+    """LSH band rows (doc_id, band, bh) from a (doc_id, sig) frame.
+    Band key = the raw per-band value tuple (stringified), NOT a hash
+    of it: the candidate set is then provably identical to the DuckDB
+    oracle's (no cross-engine hash to reproduce, no collision noise)."""
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("sig")[j].cast("string")
+                                for j in range(
+                                    i * rows_per_band, (i + 1) * rows_per_band
+                                )
+                            ],
+                        ).alias("bh"),
+                    )
+                    for i in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+
+
+def _sig_est_jaccard(a_col: str = "sig_a", b_col: str = "sig_b"):
+    """Exact signature-estimated Jaccard: matching permutations / 32
+    (an int/int ratio — bit-identical cross-engine)."""
+    return F.aggregate(
+        F.zip_with(a_col, b_col, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(_MINHASH_PERMS)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -496,30 +536,7 @@ def minhash_lsh_pairs(
         sigs = _register_sig_cache(
             minhash_signatures(docs, text_col, k), auto_release
         )
-    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
-    # band key = the raw 4-tuple (stringified), NOT a hash of it: the
-    # candidate set is then provably identical to the DuckDB oracle's
-    # (no cross-engine hash to reproduce, no collision noise)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col("sig")[j].cast("string")
-                                for j in range(i * rows_per_band, (i + 1) * rows_per_band)
-                            ],
-                        ).alias("bh"),
-                    )
-                    for i in range(_LSH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.bh")
+    bands = _sig_bands(sigs)
     # pair shuffle carries ONLY (doc_a, doc_b): dedup the banded pairs
     # first, then re-attach one signature per side (VERDICT r01 minor
     # #5 — previously both 32-long arrays rode through the band join
@@ -542,15 +559,89 @@ def minhash_lsh_pairs(
         pairs.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
         .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
     )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.lit(_MINHASH_PERMS)
+    est = _sig_est_jaccard()
     return (
         pairs.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus_signatures: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+    bucket_cap: int | None = 1024,
+    auto_release: bool = True,
+) -> DataFrame:
+    """Incremental-ingest dedup: admit a NEW batch against an already-
+    signed corpus (a save_signatures table) plus within itself, without
+    ever rescanning corpus text — the production shape where signatures
+    are a persisted per-corpus artifact and each ingest pays only its
+    own signature pass. Per new doc:
+
+      dup_of = min over (a) corpus docs sharing a band bucket with
+               est_jaccard >= threshold, and (b) SMALLER-id new docs
+               likewise (keep-first within the batch);
+      keep   = dup_of IS NULL.
+
+    Scale shape: corpus bands are a projection of the persisted
+    signature table (no text, no recompute); new-vs-corpus is ONE
+    equi-join shuffle on (band, bh) — with a ~1% ingest batch the
+    probe side is tiny and AQE handles hot buckets; new-vs-new is the
+    standard capped banded self-join (minhash_lsh_pairs). Oracle:
+    webtext_sql.dedup_incremental_sql (lockstep split + bands + est).
+    """
+    new_sigs = _register_sig_cache(
+        minhash_signatures(new_docs, text_col, k), auto_release
+    )
+    nb = _sig_bands(new_sigs).withColumnRenamed("doc_id", "n_doc")
+    cb = _sig_bands(corpus_signatures).withColumnRenamed("doc_id", "c_doc")
+    cross = (
+        nb.join(cb, ["band", "bh"])
+        .select("n_doc", "c_doc")
+        .dropDuplicates(["n_doc", "c_doc"])
+        .join(
+            new_sigs.select(
+                F.col("doc_id").alias("n_doc"), F.col("sig").alias("sig_a")
+            ),
+            "n_doc",
+        )
+        .join(
+            corpus_signatures.select(
+                F.col("doc_id").alias("c_doc"), F.col("sig").alias("sig_b")
+            ),
+            "c_doc",
+        )
+        .filter(_sig_est_jaccard() >= threshold)
+        .select("n_doc", F.col("c_doc").alias("match_id"))
+    )
+    within = minhash_lsh_pairs(
+        new_docs,
+        text_col,
+        k,
+        threshold,
+        bucket_cap,
+        signatures=new_sigs,
+        auto_release=False,
+    ).select(
+        F.col("doc_b").alias("n_doc"), F.col("doc_a").alias("match_id")
+    )
+    dup = (
+        cross.unionByName(within)
+        .groupBy("n_doc")
+        .agg(F.min("match_id").alias("dup_of"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(dup, new_docs["doc_id"] == dup["n_doc"], "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").cast("long").alias("dup_of"),
+            F.col("dup_of").isNull().alias("keep"),
+        )
     )
 
 
@@ -656,7 +747,10 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def dedup_keep_best(
-    docs: DataFrame, text_col: str = "text", threshold: float = 0.35
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.35,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """The dedup MATERIALIZER: near-dup clusters via MinHash-LSH pairs +
     connected components, then keep ONE representative per cluster —
@@ -667,10 +761,14 @@ def dedup_keep_best(
     the pair graph only; the corpus-side work is one left join on
     doc_id plus one window over component_id. DuckDB oracle:
     webtext_sql.dedup_keep_best_sql (WITH RECURSIVE fixpoint +
-    identical ranking)."""
+    identical ranking). `signatures`: a precomputed save_signatures
+    table (the dedup_components pipeline shape) skips the per-run
+    signature pass."""
     from .components import connected_components
 
-    pairs = minhash_lsh_pairs(docs, text_col, threshold=threshold)
+    pairs = minhash_lsh_pairs(
+        docs, text_col, threshold=threshold, signatures=signatures
+    )
     cc = connected_components(pairs).withColumnRenamed("node", "doc_id")
     lab = (
         docs.select("doc_id", F.length(text_col).alias("__n"))
@@ -687,7 +785,12 @@ def dedup_keep_best(
     )
 
 
-def decontaminate_split(docs: DataFrame, text_col: str = "text", threshold: float = 0.35) -> DataFrame:
+def decontaminate_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.35,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
     """Train/eval DECONTAMINATION: a train doc is dropped when its
     near-dup cluster (MinHash-LSH pairs -> connected components)
     contains ANY val/test doc — the standard leakage guard when the
@@ -695,11 +798,14 @@ def decontaminate_split(docs: DataFrame, text_col: str = "text", threshold: floa
     near-identical docs CAN straddle splits; this closes that hole
     from the split side). Output (doc_id, split, component_id, keep):
     val/test rows always kept, train rows kept iff their component is
-    eval-free. Same scale shape as dedup_keep_best. DuckDB oracle:
+    eval-free. Same scale shape as dedup_keep_best (incl. the
+    `signatures` pipeline path). DuckDB oracle:
     webtext_sql.decontaminate_split_sql."""
     from .components import connected_components
 
-    pairs = minhash_lsh_pairs(docs, text_col, threshold=threshold)
+    pairs = minhash_lsh_pairs(
+        docs, text_col, threshold=threshold, signatures=signatures
+    )
     cc = connected_components(pairs).withColumnRenamed("node", "doc_id")
     _, split = split_cols(F.col("doc_id"))
     lab = (

@@ -1126,3 +1126,82 @@ def paragraph_dedup_sql(table: str = "documents", seg_tokens: int = 10) -> str:
         "ORDER BY seg_no), '') AS text_dedup "
         "FROM ranked GROUP BY doc_id"
     )
+
+
+def global_ordinals_sql(
+    table: str = "documents", shard_size: int = 1000,
+    order_col: str = "doc_id",
+) -> str:
+    """Oracle for ids.global_ordinals: the single-window spelling that
+    DuckDB can afford at gate scale (the Spark side exists precisely
+    because this plan shape cannot run at 100 TB)."""
+    return (
+        f"SELECT {order_col}, "
+        f"CAST(row_number() OVER (ORDER BY {order_col}) - 1 AS BIGINT) "
+        "AS ordinal, "
+        f"CAST((row_number() OVER (ORDER BY {order_col}) - 1) "
+        f"// {int(shard_size)} AS INT) AS shard_id "
+        f"FROM {table}"
+    )
+
+
+def dedup_incremental_sql(
+    table: str = "documents",
+    k: int = 5,
+    threshold: float = 0.5,
+    bucket_cap: int | None = 1024,
+    new_mod: int = 10,
+    new_rem: int = 7,
+) -> str:
+    """Oracle for webtext.dedup_incremental over a doc_id-modulo split
+    of `table` (new batch = doc_id % new_mod == new_rem, corpus = the
+    rest): identical signatures/banding as minhash_pairs_sql, a plain
+    DISTINCT band equi-join for new-vs-corpus, the capped chain
+    self-join for new-vs-new, min-match dup_of, keep = no match."""
+    a, b = webtext._minhash_params()
+    perms = ", ".join(
+        f"list_min(list_transform(hs, h -> ({int(a[i])} * h + {int(b[i])}) % {_P31}))"
+        for i in range(webtext._MINHASH_PERMS)
+    )
+    rpb = webtext._MINHASH_PERMS // webtext._LSH_BANDS
+    band_rows = ", ".join(f"({i})" for i in range(webtext._LSH_BANDS))
+    key = " || '_' || ".join(
+        f"CAST(sig[{rpb} * band + {j + 1}] AS VARCHAR)" for j in range(rpb)
+    )
+    est = (
+        "CAST(list_sum(list_transform(range(1, 33), i -> "
+        "CASE WHEN sa.sig[CAST(i AS BIGINT)] = sb.sig[CAST(i AS BIGINT)] "
+        "THEN 1 ELSE 0 END)) AS INT) "
+        f"/ CAST({webtext._MINHASH_PERMS} AS INT)"
+    )
+    wpairs = capped_pairs_sql(
+        "bn", ("band", "bh"), "doc_id", "doc_a", "doc_b", bucket_cap,
+        order_cte="ordk",
+    )
+    return (
+        f"WITH sh AS (SELECT doc_id, {shingle_hash_list_sql('text', k)} AS hs FROM {table}), "
+        f"sig AS (SELECT doc_id, [{perms}] AS sig FROM sh), "
+        f"newsig AS (SELECT * FROM sig WHERE doc_id % {new_mod} = {new_rem}), "
+        f"corpsig AS (SELECT * FROM sig WHERE doc_id % {new_mod} <> {new_rem}), "
+        f"bn AS (SELECT doc_id, band, {key} AS bh "
+        f"FROM newsig, (VALUES {band_rows}) AS bt(band)), "
+        f"bc AS (SELECT doc_id, band, {key} AS bh "
+        f"FROM corpsig, (VALUES {band_rows}) AS bt(band)), "
+        "crossp AS (SELECT DISTINCT n.doc_id AS n_doc, c.doc_id AS c_doc "
+        "FROM bn n JOIN bc c ON n.band = c.band AND n.bh = c.bh), "
+        "crosse AS (SELECT n_doc, c_doc AS match_id FROM crossp p "
+        "JOIN sig sa ON sa.doc_id = p.n_doc "
+        f"JOIN sig sb ON sb.doc_id = p.c_doc WHERE {est} >= {threshold}e0), "
+        "ordk AS (SELECT doc_id, array_to_string("
+        "list_transform(sig, v -> CAST(v AS VARCHAR)), '_') AS __ord FROM newsig), "
+        f"wp AS ({wpairs}), "
+        "we AS (SELECT doc_b AS n_doc, doc_a AS match_id FROM wp "
+        "JOIN sig sa ON sa.doc_id = wp.doc_a "
+        f"JOIN sig sb ON sb.doc_id = wp.doc_b WHERE {est} >= {threshold}e0), "
+        "m AS (SELECT n_doc, min(match_id) AS dup_of FROM "
+        "(SELECT * FROM crosse UNION ALL SELECT * FROM we) GROUP BY n_doc) "
+        "SELECT d.doc_id, CAST(m.dup_of AS BIGINT) AS dup_of, "
+        "m.dup_of IS NULL AS keep "
+        f"FROM (SELECT doc_id FROM {table} WHERE doc_id % {new_mod} = {new_rem}) d "
+        "LEFT JOIN m ON m.n_doc = d.doc_id"
+    )

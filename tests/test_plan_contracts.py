@@ -160,3 +160,21 @@ def test_paragraph_dedup_two_shuffles_no_joins(spark):
         assert j not in p
     assert "MapInPandas" not in p and "BatchEvalPython" not in p
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_global_ordinals_no_single_partition_sort(spark):
+    """global_ordinals exists to avoid the naive row_number() OVER
+    (ORDER BY ...) plan, which Catalyst executes as Exchange
+    SinglePartition + one-task sort. Pin the scalable shape: a range
+    exchange feeds balanced pid-window groups; nothing collapses to
+    one partition."""
+    from insideout_spark.plans import ids
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    p = _plan(ids.global_ordinals(df, shard_size=16))
+    assert "SinglePartition" not in p
+    assert "rangepartitioning" in p
+    for j in ("SortMergeJoin", "CartesianProduct"):
+        assert j not in p

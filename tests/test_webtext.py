@@ -1610,3 +1610,78 @@ def test_ann_pq_exact_twin_and_rank_invariants(spark):
     cb = np.asarray(books, dtype=np.int64)
     table = ((q0.reshape(4, 4)[:, None, :] - cb) ** 2).sum(-1)
     assert top0["dist_q"] == int(table.min(axis=1).sum())
+
+
+def test_global_ordinals_dense_and_partition_invariant(spark):
+    """Ordinals are the exact dense 0..N-1 rank of the order key, and
+    the result is IDENTICAL for different partition counts (the
+    offsets+local-rank composition is partition-invariant)."""
+    from insideout_spark.plans import ids
+
+    rows = [(i * 7 % 101,) for i in range(101)]  # permuted unique keys
+    df = spark.createDataFrame(rows, "doc_id long")
+    a = {
+        r["doc_id"]: (r["ordinal"], r["shard_id"])
+        for r in ids.global_ordinals(
+            df, shard_size=10, num_partitions=3
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["ordinal"], r["shard_id"])
+        for r in ids.global_ordinals(
+            df, shard_size=10, num_partitions=13
+        ).collect()
+    }
+    assert a == b
+    assert sorted(o for o, _ in a.values()) == list(range(101))
+    # rank follows key order: doc_id k has ordinal = #keys < k = k here
+    assert all(a[k][0] == k for k in range(101))
+    assert all(a[k][1] == k // 10 for k in range(101))
+
+
+def test_dedup_incremental_corpus_and_within_batch(spark):
+    """Crafted ingest: new doc 107 is a near-dup of corpus doc 4 (one
+    token changed), new doc 117 duplicates new doc 107 exactly (within-
+    batch keep-first -> dup_of the SMALLER new id or the corpus match,
+    whichever is smaller: here corpus doc 4), new doc 127 is unique."""
+    from insideout_spark.plans import webtext
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (4, base),
+        (5, "completely different corpus text about spark shuffles and joins"),
+        (107, base.replace("today", "tonight")),
+        (117, base.replace("today", "tonight")),
+        (127, "unique new content that matches nothing in corpus or batch"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new_docs = docs.filter("doc_id >= 100")
+    corpus_sigs = webtext.minhash_signatures(docs.filter("doc_id < 100"))
+    got = {
+        r["doc_id"]: (r["dup_of"], r["keep"])
+        for r in webtext.dedup_incremental(
+            new_docs, corpus_sigs, threshold=0.5
+        ).collect()
+    }
+    assert got[107] == (4, False)
+    # 117 matches corpus doc 4 AND smaller new doc 107 -> min = 4
+    assert got[117] == (4, False)
+    assert got[127] == (None, True)
+
+
+def test_dedup_closers_signatures_path_identical(spark):
+    """dedup_keep_best / decontaminate_split with a precomputed
+    signatures frame (the save_signatures pipeline shape) return
+    row-identical results to the self-contained path."""
+    from insideout_spark.plans import webtext
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + (f" tail{i}" if i % 3 == 0 else "")) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = webtext.minhash_signatures(docs).cache()
+    sigs.count()
+    for fn in (webtext.dedup_keep_best, webtext.decontaminate_split):
+        a = sorted(map(tuple, fn(docs, threshold=0.35).collect()))
+        b = sorted(map(tuple, fn(docs, threshold=0.35, signatures=sigs).collect()))
+        assert a == b
+    sigs.unpersist()
