@@ -236,28 +236,43 @@ def test_knn_boundary_distance_ties_match_brute(spark):
 def test_knn_round_caches_released(spark, points_df, targets_df):
     """VERDICT r02 'What's wrong' #3: per-round persisted aggs must be
     releasable — release_round_caches() leaves no extra persisted RDDs,
-    and the next knn_cell_join auto-releases its predecessor's."""
+    and the next knn_cell_join auto-releases its predecessor's.
+
+    Measured by RDD-id SET arithmetic, not global counts: the shared
+    session carries other fixtures' caches (which materialize lazily —
+    possibly DURING the join under test) and the async ContextCleaner
+    can drop GC'd ones mid-test, so global size comparisons are
+    order-dependent."""
     from insideout_spark.plans import knn as knn_mod
 
     df, _ = points_df
     tdf, _ = targets_df
     jsc = spark.sparkContext._jsc
+
+    def pids():
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    # materialize the fixture caches so they can't appear mid-test
+    df.count()
+    tdf.count()
     knn_mod.release_round_caches()
-    before = jsc.getPersistentRDDs().size()
+    before = pids()
     res1 = knn_cell_join(df.limit(100), tdf, k=3, res=5)
     assert res1.count() > 0
-    assert jsc.getPersistentRDDs().size() > before  # rounds are cached
+    round1_ids = pids() - before
+    assert round1_ids  # rounds are cached
     knn_mod.release_round_caches()
-    assert jsc.getPersistentRDDs().size() == before
-    # auto-release: a second join clears the first join's caches
+    assert not (pids() & round1_ids)
+    # auto-release: a third join clears the second join's caches
     res2 = knn_cell_join(df.limit(100), tdf, k=3, res=5)
     assert res2.count() > 0
-    n2 = jsc.getPersistentRDDs().size()
+    round2_ids = pids() - before
+    assert round2_ids
     res3 = knn_cell_join(df.limit(100), tdf, k=3, res=5)
     assert res3.count() > 0
-    assert jsc.getPersistentRDDs().size() <= n2
+    assert not (pids() & round2_ids)
     knn_mod.release_round_caches()
-    assert jsc.getPersistentRDDs().size() == before
+    assert not (pids() - before)
 
 
 def test_checkpoint_resume(spark, points_df, tmp_path):
