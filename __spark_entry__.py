@@ -775,6 +775,31 @@ def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.hll_distinct_tokens(_docs(spark, sf_dir))
 
 
+# BPE params pinned for the oracle gate (the ann_ivf pattern): merges
+# trained driver-side from the gate's parquet, pinned as a literal
+# replace() chain in the oracle, served by the same chain in Catalyst
+_BPE_N_MERGES, _BPE_MAX_WORDS = 30, 5000
+
+
+def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 BPE tokens after 30 pinned merges (r05 batch 6):
+    tokenizer TRAINING is a bounded driver-side loop over the distinct-
+    word table (the standard recipe at any scale); APPLICATION is a
+    pure-Catalyst replace chain over distinct words only."""
+    merges = webtext.bpe_merges_from_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS,
+    )
+    return webtext.bpe_token_counts(_docs(spark, sf_dir), merges, k=200)
+
+
+def _q_dedup_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact URL dedup keeping the latest recrawl (r05 batch 6): one
+    map-side-combinable max(struct(ts, id)) argmax per url — the
+    Common-Crawl keep-newest-capture convention."""
+    return webtext.dedup_url_latest(_docs(spark, sf_dir))
+
+
 def _q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-TLD rollup of deterministically synthesized URLs (r05 batch
     2): host/domain/TLD/path-depth/query regexp chain, one combinable
@@ -988,6 +1013,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_3iter": _q_pagerank_3iter,
         "pmi_top100": _q_pmi_top100,
         "ann_pq_top10": _q_ann_pq,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "dedup_url_latest": _q_dedup_url_latest,
     }
 
 
@@ -1372,4 +1399,15 @@ def oracle_sql() -> dict[str, str]:
             k=10,
             n_probe=_IVF_N_PROBE,
         ),
+        # BPE: merge TRAINING is a bounded driver-side loop (no SQL
+        # form), but APPLICATION is — pin the trained merges as a
+        # literal nested-replace chain (the ann_ivf centroid pattern)
+        "bpe_token_counts": webtext_sql.bpe_token_counts_sql(
+            webtext.bpe_merges_from_parquet(
+                os.path.join(_ORACLE_SF_DIR, "documents.parquet"),
+                n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS,
+            ),
+            k=200,
+        ),
+        "dedup_url_latest": webtext_sql.dedup_url_latest_sql(),
     }

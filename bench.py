@@ -229,6 +229,8 @@ def run_headline(spark) -> dict[str, float]:
         "pagerank_3iter",
         "pmi_top100",
         "ann_pq_top10",
+        "bpe_token_counts",
+        "dedup_url_latest",
     ):
         q[name] = best_of(lambda n=name: queries[n](spark, SF_DIR).count())
 

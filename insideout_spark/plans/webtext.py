@@ -2843,3 +2843,182 @@ def ann_pq(
         .filter(F.col("rank") <= int(k))
         .select("query_id", "neighbor_id", "rank", "dist_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL recrawl dedup + BPE tokenizer training/application
+# ---------------------------------------------------------------------------
+
+
+def dedup_url_latest(docs: DataFrame, recrawl_mod: int = 200) -> DataFrame:
+    """Exact URL dedup keeping the LATEST recrawl — the Common-Crawl
+    convention: the same url appears once per crawl snapshot and the
+    pipeline keeps the newest capture (tie-break: highest doc_id).
+    The corpus carries no url/timestamp, so both are synthesized
+    deterministically (the synth_url pattern): the crawl key
+    doc_id % recrawl_mod folds distinct doc_ids onto the same url
+    ("recrawls"), and warc_ts_unix = 1600000000 + (doc_id*37) % 10000.
+
+    Scale shape: ONE map-side-combinable aggregation on url —
+    max(struct(ts, doc_id)) is an associative argmax, so a 100-TB
+    crawl shuffles one partial row per (partition, url), never the
+    occurrences; no window, no global sort. Reference parity: the
+    reference dedups stab results per feature id
+    (index/treeindex/treeindex.go result-set semantics); this is the
+    same keep-one-per-key reduction keyed on url.
+    Oracle: webtext_sql.dedup_url_latest_sql."""
+    did = F.col("doc_id").cast("long")
+    ck = F.pmod(did, F.lit(int(recrawl_mod)))
+    base = docs.select(
+        did.alias("doc_id"),
+        ck.alias("crawl_key"),
+        F.concat(F.lit("s"), F.pmod(ck, F.lit(7)).cast("string")).alias("crawl_src"),
+        (F.lit(1600000000).cast("long") + F.pmod(did * F.lit(37), F.lit(10000)))
+        .alias("warc_ts_unix"),
+    )
+    u = base.select(
+        "doc_id",
+        synth_url("crawl_key", "crawl_src").alias("url"),
+        "warc_ts_unix",
+    )
+    g = u.groupBy("url").agg(
+        F.max(
+            F.struct(F.col("warc_ts_unix").alias("ts"), F.col("doc_id").alias("id"))
+        ).alias("m"),
+        F.count("*").alias("n_crawls"),
+    )
+    return g.select(
+        "url",
+        F.col("m.id").alias("kept_doc_id"),
+        F.col("m.ts").alias("warc_ts_unix"),
+        F.col("n_crawls").cast("long").alias("n_crawls"),
+    )
+
+
+_BPE_MERGE_CACHE: dict = {}
+
+
+def _bpe_apply(sym: tuple, x: str, y: str) -> tuple:
+    """One merge pass, left-to-right non-overlapping — EXACTLY the
+    semantics of string replace('(x)(y)', '(xy)') over the wrapped
+    representation, which is how serving applies it in Catalyst and
+    the oracle applies it in DuckDB."""
+    out = []
+    i = 0
+    n = len(sym)
+    while i < n:
+        if i < n - 1 and sym[i] == x and sym[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train(word_counts, n_merges: int = 30) -> list:
+    """Classic BPE trainer over a (word -> count) table: symbols start
+    as characters plus a terminal '_' marker; each round merges the
+    most frequent adjacent pair (tie-break: lexicographically smallest
+    pair) across all words, weighted by word frequency. Pure Python on
+    the driver — the vocabulary table is bounded (max_words), which IS
+    the standard recipe at any corpus scale: only word counting is
+    distributed, the merge loop runs over ~10^4 distinct words."""
+    from collections import Counter
+
+    reps = [
+        (tuple(w) + ("_",), int(c))
+        for w, c in sorted(word_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
+    merges: list = []
+    for _ in range(int(n_merges)):
+        pc: Counter = Counter()
+        for s, c in reps:
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        reps = [(_bpe_apply(s, best[0], best[1]), c) for s, c in reps]
+    return merges
+
+
+def bpe_merges_from_parquet(
+    path: str,
+    n_merges: int = 30,
+    max_words: int = 5000,
+    text_col: str = "text",
+) -> list:
+    """Train BPE merges from a documents parquet, driver-side (the
+    ivf_centroids_from_parquet convention): a pyarrow read + bounded
+    word-frequency table, so oracle_sql() can pin the identical merges
+    the Spark query serves with. Words are lowercase [a-z]+ runs."""
+    import re
+    from collections import Counter
+
+    key = (os.path.abspath(path), int(n_merges), int(max_words), text_col)
+    if key not in _BPE_MERGE_CACHE:
+        import pyarrow.parquet as pq
+
+        col = pq.read_table(path, columns=[text_col])[text_col].to_pylist()
+        wc: Counter = Counter()
+        pat = re.compile(r"[a-z]+")
+        for t in col:
+            if t:
+                wc.update(pat.findall(t.lower()))
+        top = dict(
+            sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[: int(max_words)]
+        )
+        _BPE_MERGE_CACHE[key] = bpe_train(top, n_merges)
+    return _BPE_MERGE_CACHE[key]
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list,
+    k: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a PINNED merge table (from bpe_merges_from_parquet) to the
+    corpus and return the top-k BPE tokens by total occurrences —
+    tokenizer application, the step every LLM data pipeline runs over
+    100 TB. Representation: each word becomes '(h)(e)(l)(l)(o)(_)';
+    merge (x,y) is replace('(x)(y)', '(xy)') — left-to-right
+    non-overlapping, identical semantics in Catalyst, DuckDB, and the
+    trainer's scan (_bpe_apply).
+
+    Scale shape: occurrences collapse to the DISTINCT-WORD table first
+    (one map-side-combinable shuffle — Zipf makes distinct words tiny
+    vs occurrences), the merge-replace chain runs in whole-stage
+    codegen over distinct words only, and the final top-k is a second
+    combinable aggregation + TakeOrderedAndProject. Zero Python, no
+    window over the vocabulary. Oracle: webtext_sql.bpe_token_counts_sql."""
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count("*").cast("long").alias("c"))
+    rep = F.concat(
+        F.regexp_replace(F.col("word"), "(.)", "($1)"), F.lit("(_)")
+    )
+    for x, y in merges:
+        rep = F.replace(rep, F.lit(f"({x})({y})"), F.lit(f"({x}{y})"))
+    toks = wc.select(
+        F.explode(
+            F.regexp_extract_all(rep, F.lit(r"\(([a-z_]+)\)"), 1)
+        ).alias("token"),
+        "c",
+    )
+    agg = (
+        toks.groupBy("token")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(int(k))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    # the window runs over k rows only (post-limit), not the vocabulary
+    return agg.select(
+        "token", "n", F.row_number().over(w).cast("long").alias("rank")
+    )

@@ -816,16 +816,16 @@ def _lc_table_sql(m: int) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _synth_url_sql() -> str:
+def _synth_url_sql(id_expr: str = "doc_id", src_expr: str = "source") -> str:
     """SQL twin of webtext.synth_url — deterministic URL from
-    (doc_id, source)."""
+    (id_expr, src_expr)."""
     tlds = "[" + ", ".join(f"'{t}'" for t in webtext._URL_TLDS) + "]"
     return (
-        "('https://' || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END"
-        " || 'site' || CAST(doc_id % 97 AS VARCHAR) || '.'"
-        f" || {tlds}[CAST(doc_id % 4 AS INT) + 1]"
-        " || CASE WHEN doc_id % 3 = 0 THEN '/a/b' ELSE '/a' END"
-        " || CASE WHEN doc_id % 4 = 0 THEN '?q=' || source ELSE '' END)"
+        f"('https://' || CASE WHEN {id_expr} % 5 = 0 THEN 'www.' ELSE '' END"
+        f" || 'site' || CAST({id_expr} % 97 AS VARCHAR) || '.'"
+        f" || {tlds}[CAST({id_expr} % 4 AS INT) + 1]"
+        f" || CASE WHEN {id_expr} % 3 = 0 THEN '/a/b' ELSE '/a' END"
+        f" || CASE WHEN {id_expr} % 4 = 0 THEN '?q=' || {src_expr} ELSE '' END)"
     )
 
 
@@ -1204,4 +1204,50 @@ def dedup_incremental_sql(
         "m.dup_of IS NULL AS keep "
         f"FROM (SELECT doc_id FROM {table} WHERE doc_id % {new_mod} = {new_rem}) d "
         "LEFT JOIN m ON m.n_doc = d.doc_id"
+    )
+
+
+def dedup_url_latest_sql(table: str = "documents", recrawl_mod: int = 200) -> str:
+    """Oracle for webtext.dedup_url_latest — identical url/ts synth;
+    the keep-latest argmax is expressed as the standard windowed
+    row_number() == 1 (vs Spark's max(struct) — same (ts DESC, doc_id
+    DESC) pick)."""
+    u = _synth_url_sql("ck", "crawl_src")
+    return (
+        f"WITH b AS (SELECT doc_id, doc_id % {recrawl_mod} AS ck, "
+        f"'s' || CAST((doc_id % {recrawl_mod}) % 7 AS VARCHAR) AS crawl_src "
+        f"FROM {table}), "
+        "u AS (SELECT doc_id, "
+        "CAST(1600000000 + (doc_id * 37) % 10000 AS BIGINT) AS ts, "
+        f"{u} AS url FROM b), "
+        "r AS (SELECT url, doc_id, ts, "
+        "count(*) OVER (PARTITION BY url) AS n_crawls, "
+        "row_number() OVER (PARTITION BY url ORDER BY ts DESC, doc_id DESC) "
+        "AS rn FROM u) "
+        "SELECT url, doc_id AS kept_doc_id, ts AS warc_ts_unix, "
+        "CAST(n_crawls AS BIGINT) AS n_crawls FROM r WHERE rn = 1"
+    )
+
+
+def bpe_token_counts_sql(merges: list, k: int = 200, table: str = "documents") -> str:
+    """Oracle for webtext.bpe_token_counts — the PINNED merge table
+    (trained driver-side, bpe_merges_from_parquet) is embedded as a
+    literal nested replace() chain; replace semantics (left-to-right,
+    non-overlapping) are identical in DuckDB, Catalyst, and the
+    trainer's scan."""
+    rep = "('(' || regexp_replace(word, '(.)', '\\1)(', 'g') || '_)')"
+    for x, y in merges:
+        rep = f"replace({rep}, '({x})({y})', '({x}{y})')"
+    return (
+        "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) "
+        f"AS word FROM {table}), "
+        "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY word), "
+        f"r AS (SELECT {rep} AS rep, c FROM wc), "
+        "t AS (SELECT unnest(regexp_extract_all(rep, '\\(([a-z_]+)\\)', 1)) "
+        "AS token, c FROM r), "
+        "agg AS (SELECT token, CAST(sum(c) AS BIGINT) AS n FROM t GROUP BY token), "
+        "topk AS (SELECT token, n FROM agg ORDER BY n DESC, token LIMIT "
+        f"{int(k)}) "
+        "SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) "
+        "AS BIGINT) AS rank FROM topk"
     )

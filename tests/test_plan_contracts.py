@@ -178,3 +178,32 @@ def test_global_ordinals_no_single_partition_sort(spark):
     assert "rangepartitioning" in p
     for j in ("SortMergeJoin", "CartesianProduct"):
         assert j not in p
+
+
+def test_bpe_token_counts_codegen_topk(spark):
+    """BPE application must stay JVM-side: the pinned replace chain is
+    pure Catalyst (no Arrow/Python eval), occurrences collapse to the
+    distinct-word table before the chain (two combinable Exchanges
+    total), and the global top-k is TakeOrderedAndProject, never a
+    single-partition Sort."""
+    from insideout_spark.plans import webtext
+
+    merges = webtext.bpe_train({"alpha": 3, "beta": 2, "gamma": 1}, n_merges=6)
+    p = _plan(webtext.bpe_token_counts(_docs(spark), merges, k=10))
+    assert "TakeOrderedAndProject" in p
+    for py in ("ArrowEval", "BatchEvalPython", "FlatMapsInPandas", "MapInPandas"):
+        assert py not in p
+    assert p.count("Exchange") <= 2
+
+
+def test_dedup_url_latest_single_combinable_shuffle(spark):
+    """Keep-latest is ONE map-side-combinable aggregation on url: a
+    partial max(struct)/count before the single Exchange, no window,
+    no sort."""
+    from insideout_spark.plans import webtext
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    p = _plan(webtext.dedup_url_latest(df))
+    assert p.count("Exchange") == 1
+    assert "partial_max" in p or "partial" in p.lower()
+    assert "Window" not in p

@@ -1685,3 +1685,87 @@ def test_dedup_closers_signatures_path_identical(spark):
         b = sorted(map(tuple, fn(docs, threshold=0.35, signatures=sigs).collect()))
         assert a == b
     sigs.unpersist()
+
+
+def test_bpe_train_deterministic_and_replace_equivalent(spark):
+    """BPE trainer: deterministic merges with (count desc, pair asc)
+    tie-break, and _bpe_apply's scan == the serving replace('(x)(y)',
+    '(xy)') semantics on the wrapped representation (including the
+    overlapping-run and adjacent-pair edge cases)."""
+    from insideout_spark.plans import webtext
+
+    merges = webtext.bpe_train({"abab": 2, "aaa": 1}, n_merges=2)
+    # round 1: (a,b) count 4 beats (b,a) 2 and (a,a) 2 -> merge ab
+    # round 2: reps are (ab)(ab)(_) x2 and (a)(a)(a)(_):
+    #   (ab,ab)=2, (ab,_)=2, (a,a)=2, (a,_)=1 -> tie at 2, min pair (a,a)
+    assert merges == [("a", "b"), ("a", "a")]
+
+    def via_replace(word, merges):
+        s = "".join(f"({c})" for c in word) + "(_)"
+        for x, y in merges:
+            s = s.replace(f"({x})({y})", f"({x}{y})")
+        import re
+
+        return tuple(re.findall(r"\(([a-z_]+)\)", s))
+
+    for word in ["abab", "aaa", "aaaa", "ababa", "b", ""]:
+        sym = tuple(word) + ("_",)
+        for x, y in merges:
+            sym = webtext._bpe_apply(sym, x, y)
+        assert sym == via_replace(word, merges), word
+
+
+def test_bpe_token_counts_spark_matches_python(spark):
+    """Serving chain (Catalyst replace over distinct words) reproduces
+    the trainer-side tokenization occurrence-for-occurrence."""
+    from collections import Counter
+
+    from insideout_spark.plans import webtext
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new lower"),
+        (3, "low new wide wider widest"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wc = Counter(
+        w for _, t in rows for w in t.split()
+    )
+    merges = webtext.bpe_train(dict(wc), n_merges=8)
+    got = {
+        r["token"]: r["n"]
+        for r in webtext.bpe_token_counts(docs, merges, k=100).collect()
+    }
+    want: Counter = Counter()
+    for w, c in wc.items():
+        sym = tuple(w) + ("_",)
+        for x, y in merges:
+            sym = webtext._bpe_apply(sym, x, y)
+        for s in sym:
+            want[s] += c
+    assert got == dict(want)
+
+
+def test_dedup_url_latest_keeps_latest(spark):
+    """Keep-latest semantics: within a url group the kept row has the
+    max (warc_ts_unix, doc_id), and n_crawls counts the group."""
+    from insideout_spark.plans import webtext
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(450)], "doc_id long"
+    )
+    out = webtext.dedup_url_latest(docs, recrawl_mod=200).collect()
+    # recompute the synth + argmax in python
+    groups: dict = {}
+    for i in range(450):
+        ck = i % 200
+        ts = 1600000000 + (i * 37) % 10000
+        groups.setdefault(ck, []).append((ts, i))
+    # crawl_key -> url is injective here (its components only read ck)
+    by_ck = {ck: (max(v), len(v)) for ck, v in groups.items()}
+    assert len(out) == 200
+    for r in out:
+        ck = r["kept_doc_id"] % 200
+        (ts, did), n = by_ck[ck]
+        assert (r["warc_ts_unix"], r["kept_doc_id"]) == (ts, did)
+        assert r["n_crawls"] == n
