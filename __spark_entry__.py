@@ -800,6 +800,13 @@ def _q_dedup_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.dedup_url_latest(_docs(spark, sf_dir))
 
 
+def _q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot crawl diff (r05 batch 6): per-snapshot
+    keep-latest argmax + full outer join co-partitioned on url;
+    added/removed/changed/same statuses."""
+    return webtext.crawl_diff(_docs(spark, sf_dir))
+
+
 def _q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-TLD rollup of deterministically synthesized URLs (r05 batch
     2): host/domain/TLD/path-depth/query regexp chain, one combinable
@@ -1015,6 +1022,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_top10": _q_ann_pq,
         "bpe_token_counts": _q_bpe_token_counts,
         "dedup_url_latest": _q_dedup_url_latest,
+        "crawl_diff": _q_crawl_diff,
     }
 
 
@@ -1410,4 +1418,5 @@ def oracle_sql() -> dict[str, str]:
             k=200,
         ),
         "dedup_url_latest": webtext_sql.dedup_url_latest_sql(),
+        "crawl_diff": webtext_sql.crawl_diff_sql(),
     }

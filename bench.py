@@ -231,6 +231,7 @@ def run_headline(spark) -> dict[str, float]:
         "ann_pq_top10",
         "bpe_token_counts",
         "dedup_url_latest",
+        "crawl_diff",
     ):
         q[name] = best_of(lambda n=name: queries[n](spark, SF_DIR).count())
 

@@ -3022,3 +3022,68 @@ def bpe_token_counts(
     return agg.select(
         "token", "n", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+def _snapshot_urls(docs: DataFrame, parity: int, ck_mod: int, ck_shift: int):
+    """One synthetic crawl snapshot: rows with doc_id % 2 == parity,
+    capture key ck = (doc_id >> 1) % ck_mod + ck_shift (shiftright —
+    exact integer bit math, ANSI-safe), url a pure function of ck so
+    the same ck in either snapshot yields the same url."""
+    did = F.col("doc_id").cast("long")
+    ck = F.pmod(F.shiftright(did, 1), F.lit(int(ck_mod))) + F.lit(int(ck_shift))
+    base = docs.filter(F.pmod(did, F.lit(2)) == parity).select(
+        did.alias("doc_id"),
+        ck.alias("crawl_key"),
+        F.concat(F.lit("s"), F.pmod(ck, F.lit(7)).cast("string")).alias("crawl_src"),
+        (F.lit(1600000000).cast("long") + F.pmod(did * F.lit(37), F.lit(10000)))
+        .alias("ts"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    return base.select(
+        "doc_id", synth_url("crawl_key", "crawl_src").alias("url"), "ts", "h"
+    )
+
+
+def crawl_diff(docs: DataFrame, ck_mod: int = 180, new_shift: int = 5) -> DataFrame:
+    """Snapshot-to-snapshot crawl diff — the incremental-crawl
+    bookkeeping step: which urls were ADDED, REMOVED, CHANGED
+    (md5(text) differs between the kept captures) or SAME between two
+    crawls. Snapshots are synthesized from the corpus (old = even
+    doc_ids, new = odd; the new snapshot's capture-key range is shifted
+    by `new_shift` so both added and removed urls exist). Within each
+    snapshot the url's latest capture wins (the dedup_url_latest
+    argmax, carrying the content hash in the struct payload).
+
+    Scale shape: two map-side-combinable max(struct) aggregations
+    (one per snapshot, each ONE shuffle on url) + a full outer join
+    already co-partitioned on url by those exchanges — no window over
+    captures, no extra shuffle for the join at matching partitioning.
+    Oracle: webtext_sql.crawl_diff_sql."""
+    def kept(snap: DataFrame, prefix: str) -> DataFrame:
+        g = snap.groupBy("url").agg(
+            F.max(
+                F.struct(
+                    F.col("ts").alias("ts"),
+                    F.col("doc_id").alias("id"),
+                    F.col("h").alias("h"),
+                )
+            ).alias("m")
+        )
+        return g.select(
+            "url",
+            F.col("m.id").alias(f"{prefix}_doc_id"),
+            F.col("m.h").alias(f"{prefix}_h"),
+        )
+
+    old_k = kept(_snapshot_urls(docs, 0, ck_mod, 0), "old")
+    new_k = kept(_snapshot_urls(docs, 1, ck_mod, new_shift), "new")
+    j = old_k.join(new_k, "url", "full_outer")
+    status = (
+        F.when(F.col("old_doc_id").isNull(), F.lit("added"))
+        .when(F.col("new_doc_id").isNull(), F.lit("removed"))
+        .when(F.col("old_h") == F.col("new_h"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        "url", status.alias("status"), "old_doc_id", "new_doc_id"
+    )

@@ -1251,3 +1251,38 @@ def bpe_token_counts_sql(merges: list, k: int = 200, table: str = "documents") -
         "SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) "
         "AS BIGINT) AS rank FROM topk"
     )
+
+
+def crawl_diff_sql(
+    table: str = "documents", ck_mod: int = 180, new_shift: int = 5
+) -> str:
+    """Oracle for webtext.crawl_diff — identical snapshot synth,
+    per-snapshot keep-latest via row_number() == 1, full outer join +
+    CASE status."""
+
+    def snap(parity: int, shift: int, name: str) -> str:
+        return (
+            f"{name}0 AS (SELECT doc_id, "
+            f"(doc_id // 2) % {ck_mod} + {shift} AS ck, "
+            "CAST(1600000000 + (doc_id * 37) % 10000 AS BIGINT) AS ts, "
+            f"md5(text) AS h FROM {table} WHERE doc_id % 2 = {parity}), "
+            f"{name}1 AS (SELECT doc_id, ck, ts, h, "
+            f"'s' || CAST(ck % 7 AS VARCHAR) AS crawl_src FROM {name}0), "
+            f"{name}2 AS (SELECT doc_id, ts, h, "
+            f"{_synth_url_sql('ck', 'crawl_src')} AS url FROM {name}1), "
+            f"{name}3 AS (SELECT url, doc_id, h, row_number() OVER "
+            "(PARTITION BY url ORDER BY ts DESC, doc_id DESC) AS rn "
+            f"FROM {name}2), "
+            f"{name} AS (SELECT url, doc_id AS {name}_doc_id, h AS {name}_h "
+            f"FROM {name}3 WHERE rn = 1)"
+        )
+
+    return (
+        f"WITH {snap(0, 0, 'old')}, {snap(1, new_shift, 'new')} "
+        "SELECT coalesce(old.url, new.url) AS url, "
+        "CASE WHEN old_doc_id IS NULL THEN 'added' "
+        "WHEN new_doc_id IS NULL THEN 'removed' "
+        "WHEN old_h = new_h THEN 'same' ELSE 'changed' END AS status, "
+        "old_doc_id, new_doc_id "
+        'FROM old FULL OUTER JOIN new ON old.url = new.url'
+    )

@@ -207,3 +207,17 @@ def test_dedup_url_latest_single_combinable_shuffle(spark):
     assert p.count("Exchange") == 1
     assert "partial_max" in p or "partial" in p.lower()
     assert "Window" not in p
+
+
+def test_crawl_diff_two_shuffles_join_reuses_partitioning(spark):
+    """crawl_diff: one combinable argmax Exchange per snapshot and the
+    full outer join consumes them co-partitioned on url — exactly 2
+    Exchanges, no Window over captures."""
+    from insideout_spark.plans import webtext
+
+    df = spark.createDataFrame(
+        [(i, f"t{i % 9}") for i in range(100)], "doc_id long, text string"
+    )
+    p = _plan(webtext.crawl_diff(df))
+    assert p.count("Exchange") == 2
+    assert "Window" not in p

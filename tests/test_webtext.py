@@ -1769,3 +1769,44 @@ def test_dedup_url_latest_keeps_latest(spark):
         (ts, did), n = by_ck[ck]
         assert (r["warc_ts_unix"], r["kept_doc_id"]) == (ts, did)
         assert r["n_crawls"] == n
+
+
+def test_crawl_diff_all_four_statuses(spark):
+    """crawl_diff emits added/removed/changed/same correctly, with
+    within-snapshot keep-latest resolving recaptures first. ck_mod=4,
+    shift=1: old cks {0,1,2,3}, new cks {1,2,3,4} -> ck 0 removed,
+    ck 4 added."""
+    from insideout_spark.plans import webtext
+
+    # doc_id -> (snapshot = id%2, half = id//2, ck = half%4 [+1 if new])
+    rows = [
+        (0, "a"),   # old ck0 -> removed
+        (2, "b"),   # old ck1
+        (3, "b"),   # new ck1+.. wait: new ck = (3//2)%4+1 = 2
+        (4, "c"),   # old ck2
+        (6, "d"),   # old ck3
+        (1, "zz"),  # new ck = 0%4+1 = 1
+        (5, "c"),   # new ck = 2%4+1 = 3
+        (7, "e"),   # new ck = 3%4+1 = 4 -> added
+        (9, "b"),   # new ck = 4%4+1 = 1 (recapture of new ck1, later ts)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["url"]: r for r in webtext.crawl_diff(docs, ck_mod=4, new_shift=1).collect()}
+    by_status: dict = {}
+    for r in out.values():
+        by_status.setdefault(r["status"], []).append(r)
+    # ck0 only old -> removed; ck4 only new -> added
+    assert len(by_status["removed"]) == 1
+    assert by_status["removed"][0]["old_doc_id"] == 0
+    assert len(by_status["added"]) == 1
+    assert by_status["added"][0]["new_doc_id"] == 7
+    # ck1: old doc 2 text 'b'; new docs 1 ('zz') and 9 ('b') -> keep 9
+    # (higher ts) -> same text 'b' -> SAME
+    assert len(by_status["same"]) == 1
+    s = by_status["same"][0]
+    assert (s["old_doc_id"], s["new_doc_id"]) == (2, 9)
+    # ck2: old 4 'c' vs new 3 'b' -> changed; ck3: old 6 'd' vs new 5
+    # 'c' -> changed
+    assert sorted(
+        (r["old_doc_id"], r["new_doc_id"]) for r in by_status["changed"]
+    ) == [(4, 3), (6, 5)]
