@@ -2949,24 +2949,41 @@ def bpe_merges_from_parquet(
     n_merges: int = 30,
     max_words: int = 5000,
     text_col: str = "text",
+    sample_rows: int = 200_000,
 ) -> list:
     """Train BPE merges from a documents parquet, driver-side (the
-    ivf_centroids_from_parquet convention): a pyarrow read + bounded
-    word-frequency table, so oracle_sql() can pin the identical merges
-    the Spark query serves with. Words are lowercase [a-z]+ runs."""
+    ivf_centroids_from_parquet convention): a BOUNDED pyarrow read +
+    bounded word-frequency table, so oracle_sql() can pin the
+    identical merges the Spark query serves with. Words are lowercase
+    [a-z]+ runs.
+
+    The read streams row batches IN FILE ORDER and stops after
+    `sample_rows` (deterministic for a given file) — never a full-
+    column driver materialization, so a 100-TB corpus trains from its
+    first ~200k docs exactly like the IVF quantizer trains from its
+    lowest-id sample; only word COUNTING touches the sample, the merge
+    loop itself runs over <= max_words distinct words."""
     import re
     from collections import Counter
 
-    key = (os.path.abspath(path), int(n_merges), int(max_words), text_col)
+    key = (
+        os.path.abspath(path), int(n_merges), int(max_words), text_col,
+        int(sample_rows),
+    )
     if key not in _BPE_MERGE_CACHE:
         import pyarrow.parquet as pq
 
-        col = pq.read_table(path, columns=[text_col])[text_col].to_pylist()
         wc: Counter = Counter()
         pat = re.compile(r"[a-z]+")
-        for t in col:
-            if t:
-                wc.update(pat.findall(t.lower()))
+        seen = 0
+        pf = pq.ParquetFile(path)
+        for batch in pf.iter_batches(columns=[text_col], batch_size=8192):
+            for t in batch.column(0).to_pylist():
+                if t:
+                    wc.update(pat.findall(t.lower()))
+            seen += batch.num_rows
+            if seen >= int(sample_rows):
+                break
         top = dict(
             sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[: int(max_words)]
         )
