@@ -54,7 +54,13 @@ def _norm_cell(v):
 def _normalize(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     names = [cols[i] for i in order]
-    data = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    data = sorted(
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows),
+        # total order even with NULLs / mixed types (crawl_diff's
+        # nullable doc ids): sort by (is_null, str) per cell; equality
+        # below still compares the exact values
+        key=lambda row: tuple((c is None, str(c)) for c in row),
+    )
     return names, data
 
 
@@ -73,6 +79,9 @@ def main() -> None:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
     t_start = time.time()
     results: dict = {}
     for name, fn in queries.items():
