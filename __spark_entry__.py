@@ -800,6 +800,13 @@ def _q_dedup_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.dedup_url_latest(_docs(spark, sf_dir))
 
 
+def _q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (r05 batch 6): fixed-size token windows
+    with stride/overlap, ZERO shuffle — per-row sequence/explode/slice
+    in whole-stage codegen."""
+    return webtext.chunk_windows(_docs(spark, sf_dir))
+
+
 def _q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-snapshot crawl diff (r05 batch 6): per-snapshot
     keep-latest argmax + full outer join co-partitioned on url;
@@ -1023,6 +1030,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "dedup_url_latest": _q_dedup_url_latest,
         "crawl_diff": _q_crawl_diff,
+        "chunk_windows": _q_chunk_windows,
     }
 
 
@@ -1419,4 +1427,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_url_latest": webtext_sql.dedup_url_latest_sql(),
         "crawl_diff": webtext_sql.crawl_diff_sql(),
+        "chunk_windows": webtext_sql.chunk_windows_sql(),
     }

@@ -232,6 +232,7 @@ def run_headline(spark) -> dict[str, float]:
         "bpe_token_counts",
         "dedup_url_latest",
         "crawl_diff",
+        "chunk_windows",
     ):
         q[name] = best_of(lambda n=name: queries[n](spark, SF_DIR).count())
 

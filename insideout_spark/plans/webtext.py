@@ -3104,3 +3104,42 @@ def crawl_diff(docs: DataFrame, ck_mod: int = 180, new_shift: int = 5) -> DataFr
     return j.select(
         "url", status.alias("status"), "old_doc_id", "new_doc_id"
     )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    chunk_size: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size token windows with stride/overlap — the context-
+    window prep step before sequence packing: each document becomes
+    chunks tokens[s : s+chunk_size] for s = 0, stride, 2*stride, ...
+    while s < n_tokens (the last chunk may be short). Output carries
+    the chunk's md5 over the space-rejoined tokens, so the gate is
+    value-exact without shipping token arrays.
+
+    Scale shape: ZERO shuffle — one scan, a per-row
+    sequence()/explode over start offsets and a slice(), all in
+    whole-stage codegen; a 100-TB corpus chunks embarrassingly
+    parallel with no exchange anywhere (plan-contract pinned).
+    Oracle: webtext_sql.chunk_windows_sql."""
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    base = docs.select("doc_id", toks.alias("__t"), n.alias("__n")).filter(
+        F.col("__n") > 0
+    )
+    start = F.explode(
+        F.sequence(F.lit(0), F.col("__n") - 1, F.lit(int(stride)))
+    ).alias("chunk_start")
+    chunks = base.select("doc_id", "__t", "__n", start)
+    piece = F.slice(
+        F.col("__t"), F.col("chunk_start") + 1, F.lit(int(chunk_size))
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("chunk_start") / F.lit(int(stride))).cast("long").alias("chunk_id"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(piece).cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+    )

@@ -1286,3 +1286,23 @@ def crawl_diff_sql(
         "old_doc_id, new_doc_id "
         'FROM old FULL OUTER JOIN new ON old.url = new.url'
     )
+
+
+def chunk_windows_sql(
+    table: str = "documents", chunk_size: int = 128, stride: int = 96
+) -> str:
+    """Oracle for webtext.chunk_windows — identical tokenizer
+    (WS_TOKS_SQL), start offsets via range(0, n, stride), list_slice +
+    md5 over the space-rejoined chunk."""
+    return (
+        f"WITH tk AS (SELECT doc_id, {WS_TOKS_SQL} AS toks FROM {table}), "
+        "n AS (SELECT doc_id, toks, len(toks) AS nt FROM tk WHERE len(toks) > 0), "
+        f"st AS (SELECT doc_id, toks, nt, unnest(range(0, nt, {stride})) AS s "
+        "FROM n), "
+        f"c AS (SELECT doc_id, s, list_slice(toks, s + 1, s + {chunk_size}) "
+        "AS piece FROM st) "
+        f"SELECT doc_id, CAST(s // {stride} AS BIGINT) AS chunk_id, "
+        "CAST(s AS BIGINT) AS chunk_start, "
+        "CAST(len(piece) AS BIGINT) AS chunk_len, "
+        "md5(array_to_string(piece, ' ')) AS chunk_md5 FROM c"
+    )

@@ -221,3 +221,14 @@ def test_crawl_diff_two_shuffles_join_reuses_partitioning(spark):
     p = _plan(webtext.crawl_diff(df))
     assert p.count("Exchange") == 2
     assert "Window" not in p
+
+
+def test_chunk_windows_zero_shuffle_no_python(spark):
+    """chunk_windows is embarrassingly parallel: one scan, per-row
+    sequence/explode/slice — no Exchange, no Python eval anywhere."""
+    from insideout_spark.plans import webtext
+
+    p = _plan(webtext.chunk_windows(_docs(spark)))
+    assert "Exchange" not in p
+    for py in ("ArrowEval", "BatchEvalPython", "MapInPandas"):
+        assert py not in p

@@ -1810,3 +1810,31 @@ def test_crawl_diff_all_four_statuses(spark):
     assert sorted(
         (r["old_doc_id"], r["new_doc_id"]) for r in by_status["changed"]
     ) == [(4, 3), (6, 5)]
+
+
+def test_chunk_windows_exact_layout(spark):
+    """Chunk starts advance by stride while < n_tokens; each chunk is
+    tokens[s : s+size]; short tail chunks emitted; empty docs
+    dropped."""
+    import hashlib
+
+    from insideout_spark.plans import webtext
+
+    toks = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "solo"), (3, " ")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_start"], r["chunk_len"], r["chunk_md5"])
+        for r in webtext.chunk_windows(docs, chunk_size=4, stride=3).collect()
+    )
+    want = []
+    for s in range(0, 10, 3):
+        piece = toks[s : s + 4]
+        want.append(
+            (1, s // 3, s, len(piece),
+             hashlib.md5(" ".join(piece).encode()).hexdigest())
+        )
+    want.append((2, 0, 0, 1, hashlib.md5(b"solo").hexdigest()))
+    assert out == sorted(want)
