@@ -42,7 +42,13 @@ def _norm_cell(v):
 def _normalize(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     names = [cols[i] for i in order]
-    data = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    data = sorted(
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows),
+        # total order even with NULLs / mixed types (crawl_diff's
+        # nullable doc ids) — jobs/local_gate.py convention; equality
+        # still compares the exact values
+        key=lambda row: tuple((c is None, str(c)) for c in row),
+    )
     return names, data
 
 
