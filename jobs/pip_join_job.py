@@ -37,6 +37,14 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--polygons", required=True, help="GeoJSON FeatureCollection path")
     ap.add_argument("--pages", help="parquet path with (url, text) columns")
+    ap.add_argument(
+        "--points",
+        help="parquet path with pre-extracted (url, lat, lng) points — "
+        "skips the Arrow extraction stage so the measured job is the "
+        "pure-JVM stab (the bench.py scaling-block methodology; on a "
+        "real cluster extraction scales per-executor, but this "
+        "single-VM sandbox serializes Arrow transport globally)",
+    )
     ap.add_argument("--pages-n", type=int, default=100_000, help="synthesize N pages instead")
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=16)
@@ -62,11 +70,14 @@ def main(argv=None) -> None:
                         max(args.max_cells * 2 // 3, 8)),
         )
 
-    if args.pages:
-        pages = spark.read.parquet(args.pages)
+    if args.points:
+        points = spark.read.parquet(args.points).select("url", "lat", "lng")
     else:
-        pages = src_pages.synth_pages(spark, args.pages_n)
-    points = src_pages.extract_points(pages)
+        if args.pages:
+            pages = spark.read.parquet(args.pages)
+        else:
+            pages = src_pages.synth_pages(spark, args.pages_n)
+        points = src_pages.extract_points(pages)
     points = points.withColumn("__bucket", ckpt.bucket_col(["url"], args.buckets)).cache()
 
     def make_bucket(b: int):
