@@ -800,6 +800,13 @@ def _q_dedup_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.dedup_url_latest(_docs(spark, sf_dir))
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (r05 batch 6, MOSS algorithm): rightmost
+    min of each w-window of k-gram hashes — shuffle-free Arrow pass,
+    ~2/(w+1) the density of full window hashing."""
+    return webtext.winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def _q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (r05 batch 6): fixed-size token windows
     with stride/overlap, ZERO shuffle — per-row sequence/explode/slice
@@ -1031,6 +1038,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url_latest": _q_dedup_url_latest,
         "crawl_diff": _q_crawl_diff,
         "chunk_windows": _q_chunk_windows,
+        "winnow_fingerprints": _q_winnow,
     }
 
 
@@ -1428,4 +1436,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_url_latest": webtext_sql.dedup_url_latest_sql(),
         "crawl_diff": webtext_sql.crawl_diff_sql(),
         "chunk_windows": webtext_sql.chunk_windows_sql(),
+        "winnow_fingerprints": webtext_sql.winnow_sql(),
     }

@@ -233,6 +233,7 @@ def run_headline(spark) -> dict[str, float]:
         "dedup_url_latest",
         "crawl_diff",
         "chunk_windows",
+        "winnow_fingerprints",
     ):
         q[name] = best_of(lambda n=name: queries[n](spark, SF_DIR).count())
 

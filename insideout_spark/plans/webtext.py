@@ -3143,3 +3143,78 @@ def chunk_windows(
         F.size(piece).cast("long").alias("chunk_len"),
         F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = _SPAN_K,
+    w: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): over the k-token rolling window hashes (the exact
+    dup_span_stats hash), slide a window of w consecutive hashes and
+    select the RIGHTMOST minimum in each; the distinct selected
+    (position, hash) pairs are the document's fingerprint — the
+    guarantee is every shared substring of >= w+k-1 tokens shares at
+    least one fingerprint, at ~2/(w+1) the density of full hashing.
+
+    Scale shape: one Arrow pass per batch (numpy sliding-window argmin
+    — no per-token Python), output is the thin selected set (~m/w rows
+    per doc), no shuffle at all — fingerprinting is embarrassingly
+    parallel; downstream joins group on fp like dup_span_stats does on
+    whash. Oracle: webtext_sql.winnow_sql (identical integer hashes,
+    identical rightmost-min rule via list_position over the reversed
+    window — both engines order in the unsigned domain)."""
+    kk, ww = int(k), int(w)
+    consts = [
+        np.uint64(pow(_SPAN_BASE, kk - 1 - j, 1 << 64)) for j in range(kk)
+    ]
+
+    def run(batches):
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            toks_per_doc = [t.split() for t in pdf[text_col]]
+            counts = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
+            flat = [t for ts in toks_per_doc for t in ts]
+            hs = _token_hashes_u64(flat)
+            starts = np.r_[np.int64(0), np.cumsum(counts)][:-1]
+            out_doc, out_pos, out_fp = [], [], []
+            for did, n, s in zip(pdf["doc_id"], counts, starts):
+                if n < kk:
+                    continue
+                th = hs[s : s + n]
+                m = n - kk + 1
+                h = np.zeros(m, dtype=np.uint64)
+                for j in range(kk):
+                    h += th[j : j + m] * consts[j]
+                wl = min(ww, m)
+                swv = sliding_window_view(h, wl)
+                # argmin over the REVERSED window = rightmost min
+                a = swv[:, ::-1].argmin(axis=1)
+                pos = np.unique(np.arange(swv.shape[0]) + (wl - 1 - a))
+                out_doc.append(np.full(pos.size, did, dtype=np.int64))
+                out_pos.append(pos.astype(np.int64))
+                out_fp.append(h[pos].view(np.int64))
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_doc),
+                        "pos": np.concatenate(out_pos),
+                        "fp": np.concatenate(out_fp),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "pos": pd.Series([], dtype="int64"),
+                        "fp": pd.Series([], dtype="int64"),
+                    }
+                )
+
+    return ensure_parallel(docs.select("doc_id", text_col), "doc_id").mapInPandas(
+        run, schema="doc_id long, pos long, fp long"
+    )

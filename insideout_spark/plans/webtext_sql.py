@@ -1306,3 +1306,39 @@ def chunk_windows_sql(
         "CAST(len(piece) AS BIGINT) AS chunk_len, "
         "md5(array_to_string(piece, ' ')) AS chunk_md5 FROM c"
     )
+
+
+def winnow_sql(table: str = "documents", k: int = None, w: int = 4) -> str:
+    """Oracle for webtext.winnow_fingerprints — identical token +
+    rolling window hashes (dup_span_sql's), rightmost-min selection as
+    pos = i + wlen - list_position(list_reverse(window), list_min(
+    window)) (first match in the reversed window == rightmost in the
+    original; HUGEINT min == the unsigned order numpy argmins in)."""
+    kk = int(k) if k is not None else webtext._SPAN_K
+    ww = int(w)
+    terms = " + ".join(
+        _mulmod64_sql(
+            f"th[CAST(i + {j} AS BIGINT)]",
+            pow(webtext._SPAN_BASE, kk - 1 - j, _TWO64),
+        )
+        for j in range(kk)
+    )
+    return (
+        f"WITH tk AS (SELECT doc_id, {WS_TOKS_SQL} AS toks FROM {table}), "
+        "th AS (SELECT doc_id, "
+        f"list_transform(toks, t -> {_token_hash_sql('t')}) AS th, "
+        "len(toks) AS n FROM tk), "
+        "wl AS (SELECT doc_id, "
+        f"list_transform(range(1, greatest(n - {kk} + 2, 1)), i -> ({terms}) % {_TWO64}) "
+        "AS whl FROM th WHERE n >= {kk}), ".replace("{kk}", str(kk)) +
+        f"par AS (SELECT doc_id, whl, least({ww}, len(whl)) AS wlen FROM wl "
+        "WHERE len(whl) > 0), "
+        "sel AS (SELECT doc_id, whl, wlen, "
+        "unnest(range(0, len(whl) - wlen + 1)) AS i FROM par), "
+        "pick AS (SELECT DISTINCT doc_id, whl, "
+        "i + wlen - list_position(list_reverse(list_slice(whl, i + 1, i + wlen)), "
+        "list_min(list_slice(whl, i + 1, i + wlen))) AS pos FROM sel) "
+        "SELECT doc_id, CAST(pos AS BIGINT) AS pos, "
+        f"CAST(CASE WHEN whl[pos + 1] >= {_TWO63} THEN whl[pos + 1] - {_TWO64} "
+        "ELSE whl[pos + 1] END AS BIGINT) AS fp FROM pick"
+    )

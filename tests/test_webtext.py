@@ -1838,3 +1838,48 @@ def test_chunk_windows_exact_layout(spark):
         )
     want.append((2, 0, 0, 1, hashlib.md5(b"solo").hexdigest()))
     assert out == sorted(want)
+
+
+def test_winnow_guarantee_and_rightmost_min(spark):
+    """Winnowing invariants: (1) selections are the rightmost minimum
+    of each w-window of k-gram hashes, deduplicated (checked against a
+    direct python replay); (2) the MOSS guarantee — two docs sharing a
+    run of >= w+k-1 tokens share at least one fingerprint VALUE."""
+    import numpy as np
+
+    from insideout_spark.plans import webtext
+
+    k, w = 8, 4
+    shared = " ".join(f"common{i}" for i in range(k + w - 1))  # w+k-1 toks
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta epsilon"),
+        (2, "zeta eta theta iota " + shared),
+        (3, "nothing in common here at all whatsoever today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = webtext.winnow_fingerprints(docs, k=k, w=w).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+
+    def replay(text):
+        toks = text.split()
+        th = webtext._token_hashes_u64(toks)
+        m = len(toks) - k + 1
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            h += th[j : j + m] * np.uint64(pow(257, k - 1 - j, 1 << 64))
+        wl = min(w, m)
+        sel = set()
+        for i in range(m - wl + 1):
+            win = h[i : i + wl]
+            mn = win.min()
+            pos = i + max(np.nonzero(win == mn)[0])  # rightmost min
+            sel.add((int(pos), int(np.int64(h[pos]))))
+        return sel
+
+    for did, text in rows:
+        assert got.get(did, set()) == replay(text), did
+    fps1 = {fp for _, fp in got[1]}
+    fps2 = {fp for _, fp in got[2]}
+    assert fps1 & fps2, "shared w+k-1 run must share a fingerprint"
