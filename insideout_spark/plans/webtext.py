@@ -255,6 +255,18 @@ def vocab_topk(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFra
 _P31 = (1 << 31) - 1  # Mersenne prime: (a*h+b) products fit uint64 exactly
 
 
+def _texts(series):
+    """Null-safe text accessor for Arrow batches: None -> '' (an empty
+    document). Without this, a single NULL text row kills the whole
+    Spark job with AttributeError inside mapInPandas while the DuckDB
+    oracles keep running (they drop or NULL the row) — a crash/result
+    divergence on a schema-legal input. Empty-doc semantics match the
+    oracles wherever they keep the row (zero tokens / dropped by the
+    n >= k guards); NULL-text corpora are otherwise out of gate scope
+    (the synthetic tables carry no NULLs)."""
+    return ["" if t is None else t for t in series]
+
+
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Rolling polynomial hash over k-char shingles (document
     fingerprinting primitive). Base-257 mod 2^64 (natural uint64 wrap),
@@ -282,7 +294,7 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFram
         import pandas as pd
 
         for pdf in batches:
-            fps = [int(_shingle_hashes(t, k).min()) for t in pdf[text_col]]
+            fps = [int(_shingle_hashes(t, k).min()) for t in _texts(pdf[text_col])]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "fingerprint": np.array(fps, dtype=np.int64)})
 
     return ensure_parallel(docs.select("doc_id", text_col), "doc_id").mapInPandas(
@@ -311,7 +323,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5) -> D
 
         for pdf in batches:
             sigs = []
-            for t in pdf[text_col]:
+            for t in _texts(pdf[text_col]):
                 sh = _shingle_hashes(t, k)  # (n,) uint64 < 2^31
                 perms = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_P31)
                 sigs.append([int(v) for v in perms.min(axis=1)])
@@ -722,7 +734,7 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
             # tokens can never contain the '\n' join separator used by
             # _token_hashes_u64 (a newline inside a token desynced the
             # hash array from the token count)
-            toks_per_doc = [t.split() for t in pdf[text_col]]
+            toks_per_doc = [t.split() for t in _texts(pdf[text_col])]
             counts = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
             flat = [w for ts in toks_per_doc for w in ts]
             out = np.zeros(len(pdf), dtype=np.uint64)
@@ -857,7 +869,7 @@ def dup_span_stats(docs: DataFrame, text_col: str = "text", k: int = _SPAN_K) ->
         import pandas as pd
 
         for pdf in batches:
-            toks_per_doc = [t.split() for t in pdf[text_col]]
+            toks_per_doc = [t.split() for t in _texts(pdf[text_col])]
             counts = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
             flat = [w for ts in toks_per_doc for w in ts]
             hs = _token_hashes_u64(flat)
@@ -2079,7 +2091,7 @@ def hll_distinct_tokens(
         import pandas as pd
 
         for pdf in batches:
-            toks_per_row = [t.split() for t in pdf[text_col]]
+            toks_per_row = [t.split() for t in _texts(pdf[text_col])]
             counts = np.array([len(ts) for ts in toks_per_row], dtype=np.int64)
             src_codes, uniq = pd.factorize(pdf[source_col])
             flat = [w for ts in toks_per_row for w in ts]
@@ -2297,7 +2309,7 @@ def cms_heavy_hitters(docs: DataFrame, text_col: str = "text") -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            flat = [w for t in pdf[text_col] for w in t.split()]
+            flat = [w for t in _texts(pdf[text_col]) for w in t.split()]
             if not flat:
                 continue
             hs = _token_hashes_u64(flat)
@@ -3176,7 +3188,7 @@ def winnow_fingerprints(
         from numpy.lib.stride_tricks import sliding_window_view
 
         for pdf in batches:
-            toks_per_doc = [t.split() for t in pdf[text_col]]
+            toks_per_doc = [t.split() for t in _texts(pdf[text_col])]
             counts = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
             flat = [t for ts in toks_per_doc for t in ts]
             hs = _token_hashes_u64(flat)

@@ -1330,7 +1330,7 @@ def winnow_sql(table: str = "documents", k: int = None, w: int = 4) -> str:
         "len(toks) AS n FROM tk), "
         "wl AS (SELECT doc_id, "
         f"list_transform(range(1, greatest(n - {kk} + 2, 1)), i -> ({terms}) % {_TWO64}) "
-        "AS whl FROM th WHERE n >= {kk}), ".replace("{kk}", str(kk)) +
+        f"AS whl FROM th WHERE n >= {kk}), " +
         f"par AS (SELECT doc_id, whl, least({ww}, len(whl)) AS wlen FROM wl "
         "WHERE len(whl) > 0), "
         "sel AS (SELECT doc_id, whl, wlen, "

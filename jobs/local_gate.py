@@ -23,7 +23,6 @@ spark_rows, oracle_rows, err}} — the driver's row shape — plus a
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 import time
@@ -34,34 +33,12 @@ sys.path.insert(0, REPO)
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from insideout_spark.gatecheck import normalize as _normalize  # noqa: E402
 from insideout_spark.session import get_spark  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
-
-
-def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v  # exact equality required
-    if isinstance(v, bool):
-        return bool(v)
-    return v
-
-
-def _normalize(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    names = [cols[i] for i in order]
-    data = sorted(
-        (tuple(_norm_cell(r[i]) for i in order) for r in rows),
-        # total order even with NULLs / mixed types (crawl_diff's
-        # nullable doc ids): sort by (is_null, str) per cell; equality
-        # below still compares the exact values
-        key=lambda row: tuple((c is None, str(c)) for c in row),
-    )
-    return names, data
 
 
 def main() -> None:
@@ -81,6 +58,9 @@ def main() -> None:
     oracles = entry_mod.oracle_sql()
     only = set(sys.argv[2:])
     if only:
+        unknown = only - set(queries)
+        if unknown:
+            sys.exit(f"unknown query names: {sorted(unknown)}")
         queries = {k: v for k, v in queries.items() if k in only}
     t_start = time.time()
     results: dict = {}

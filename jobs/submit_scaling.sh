@@ -21,7 +21,7 @@ fc = {"type": "FeatureCollection", "features": [
      "geometry": {"type": "Polygon", "coordinates": [l["ring"]]}}
     for l in loops]}
 open("/tmp/communes400.geojson", "w").write(json.dumps(fc))
-if not os.path.exists("/tmp/insideout_bench_points.parquet"):
+if not os.path.exists("/tmp/insideout_bench_points.parquet/_SUCCESS"):
     from insideout_spark.session import get_spark
     from insideout_spark.sources import pages as src_pages
     spark = get_spark("mkpts")

@@ -3,13 +3,13 @@ entry on Spark at sf0.01 and compare against its oracle_sql() twin in
 DuckDB — row count, column names, and exact values (order-insensitive,
 column-name-sorted, bit-exact doubles — stricter than a value hash)."""
 
-import math
 import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+from insideout_spark.gatecheck import normalize as _normalize
 
 pytestmark = pytest.mark.slow
 
@@ -27,29 +27,6 @@ def ducks():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     return con
-
-
-def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v  # exact equality required
-    if isinstance(v, bool):
-        return bool(v)
-    return v
-
-
-def _normalize(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    names = [cols[i] for i in order]
-    data = sorted(
-        (tuple(_norm_cell(r[i]) for i in order) for r in rows),
-        # total order even with NULLs / mixed types (crawl_diff's
-        # nullable doc ids) — jobs/local_gate.py convention; equality
-        # still compares the exact values
-        key=lambda row: tuple((c is None, str(c)) for c in row),
-    )
-    return names, data
 
 
 ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())

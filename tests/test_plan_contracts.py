@@ -191,7 +191,7 @@ def test_bpe_token_counts_codegen_topk(spark):
     merges = webtext.bpe_train({"alpha": 3, "beta": 2, "gamma": 1}, n_merges=6)
     p = _plan(webtext.bpe_token_counts(_docs(spark), merges, k=10))
     assert "TakeOrderedAndProject" in p
-    for py in ("ArrowEval", "BatchEvalPython", "FlatMapsInPandas", "MapInPandas"):
+    for py in ("ArrowEval", "BatchEvalPython", "InPandas"):
         assert py not in p
     assert p.count("Exchange") <= 2
 
@@ -205,7 +205,7 @@ def test_dedup_url_latest_single_combinable_shuffle(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
     p = _plan(webtext.dedup_url_latest(df))
     assert p.count("Exchange") == 1
-    assert "partial_max" in p or "partial" in p.lower()
+    assert "partial_max" in p
     assert "Window" not in p
 
 

@@ -1782,7 +1782,7 @@ def test_crawl_diff_all_four_statuses(spark):
     rows = [
         (0, "a"),   # old ck0 -> removed
         (2, "b"),   # old ck1
-        (3, "b"),   # new ck1+.. wait: new ck = (3//2)%4+1 = 2
+        (3, "b"),   # new ck = (3//2)%4+1 = 2
         (4, "c"),   # old ck2
         (6, "d"),   # old ck3
         (1, "zz"),  # new ck = 0%4+1 = 1
