@@ -800,6 +800,31 @@ def _q_dedup_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.dedup_url_latest(_docs(spark, sf_dir))
 
 
+def _q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup component closure (r05
+    batch 6) — the dedup QA view: how many clusters of each size, incl.
+    singletons (docs in no pair). Two combinable aggs over the CC
+    output + a broadcast-size anti-side count; oracle nests the same
+    WITH RECURSIVE fixpoint."""
+    from insideout_spark.plans.components import connected_components
+
+    pairs = webtext.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.35)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component_id").agg(F.count("*").alias("size"))
+    hist = sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))
+    n_docs = _docs(spark, sf_dir).count()
+    n_in_comp = cc.count()
+    singles = spark.createDataFrame(
+        [(1, n_docs - n_in_comp)], "size long, n_clusters long"
+    )
+    return (
+        hist.select(F.col("size").cast("long"), F.col("n_clusters").cast("long"))
+        .unionByName(singles)
+        .groupBy("size")
+        .agg(F.sum("n_clusters").cast("long").alias("n_clusters"))
+    )
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (r05 batch 6, MOSS algorithm): rightmost
     min of each w-window of k-gram hashes — shuffle-free Arrow pass,
@@ -1039,6 +1064,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": _q_crawl_diff,
         "chunk_windows": _q_chunk_windows,
         "winnow_fingerprints": _q_winnow,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
     }
 
 
@@ -1437,4 +1463,22 @@ def oracle_sql() -> dict[str, str]:
         "crawl_diff": webtext_sql.crawl_diff_sql(),
         "chunk_windows": webtext_sql.chunk_windows_sql(),
         "winnow_fingerprints": webtext_sql.winnow_sql(),
+        # cluster-size histogram over the SAME components fixpoint,
+        # singletons = docs absent from the pair graph
+        "dedup_cluster_sizes": (
+            "WITH comp AS ("
+            + webtext_sql.components_sql(
+                "SELECT doc_a, doc_b FROM ("
+                + webtext_sql.minhash_pairs_sql(threshold=0.35)
+                + ")"
+            )
+            + "), sz AS (SELECT component_id, count(*) AS size FROM comp "
+            "GROUP BY component_id), "
+            "h AS (SELECT size, count(*) AS n_clusters FROM sz GROUP BY size "
+            "UNION ALL SELECT 1 AS size, "
+            "(SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) "
+            "AS n_clusters) "
+            "SELECT CAST(size AS BIGINT) AS size, "
+            "CAST(sum(n_clusters) AS BIGINT) AS n_clusters FROM h GROUP BY size"
+        ),
     }

@@ -234,6 +234,7 @@ def run_headline(spark) -> dict[str, float]:
         "crawl_diff",
         "chunk_windows",
         "winnow_fingerprints",
+        "dedup_cluster_sizes",
     ):
         q[name] = best_of(lambda n=name: queries[n](spark, SF_DIR).count())
 
