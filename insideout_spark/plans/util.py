@@ -17,6 +17,12 @@ def ensure_parallel(df: DataFrame, *key_cols: str) -> DataFrame:
     was a big slice of the documented 'session drift') from one cheap
     repartition. At real scale inputs already have many partitions and
     this is a no-op."""
+    if df.isStreaming:
+        # .rdd is illegal on streaming frames; micro-batch partitioning
+        # is the stream source's concern (maxFilesPerTrigger etc.) —
+        # pass through so the stateless operators (winnow, fingerprint,
+        # chunking, simhash, ...) compose with readStream unchanged
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 < target:
         return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
