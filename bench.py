@@ -262,6 +262,11 @@ def run_headline(spark) -> dict[str, float]:
                 _wt.minhash_lsh_pairs(docs, threshold=0.35, signatures=_sigs)
             ).count()
         )
+        # cluster-size QA view in the same pipeline shape (saved sigs)
+        def _sizes():
+            cc = _cc(_wt.minhash_lsh_pairs(docs, threshold=0.35, signatures=_sigs))
+            return cc.groupBy("component_id").count().groupBy("count").count().count()
+        q["dedup_cluster_sizes_pipeline"] = best_of(_sizes)
     q["dedup_components_cold"] = best_of(
         lambda: queries["dedup_components"](spark, SF_DIR).count()
     )
