@@ -808,9 +808,11 @@ def _q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE fixpoint."""
     from insideout_spark.plans.components import connected_components
 
+    from insideout_spark.plans.components import cluster_sizes
+
     pairs = webtext.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.35)
     cc = connected_components(pairs)
-    sizes = cc.groupBy("component_id").agg(F.count("*").alias("size"))
+    sizes = cluster_sizes(cc).withColumnRenamed("n_members", "size")
     hist = sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))
     n_docs = _docs(spark, sf_dir).count()
     n_in_comp = cc.count()
@@ -994,6 +996,9 @@ _DRIVER_WINDOW = [
     "ann_ivf_top10", "asof_click_before_error", "sessionize_30m",
     "event_value_stats",
 ]
+# the driver records EXACTLY the first 50 entries; a silent 51st would
+# fall outside the gate window unnoticed (review r05)
+assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -207,11 +207,19 @@ def connected_components(
     return labels.select("node", F.col("lab").alias("component_id"))
 
 
+def cluster_sizes(cc: DataFrame) -> DataFrame:
+    """(component_id, n_members) over a precomputed components frame —
+    THE definition of 'cluster size' (review r05: this aggregation was
+    duplicated inline by the cluster-size histogram query)."""
+    return cc.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+
+
 def dedup_cluster_representatives(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
 ) -> DataFrame:
     """One row per duplicate cluster: (component_id == representative
     doc, n_members). Downstream 'keep one per cluster' = anti-join docs
     against members where node != component_id."""
-    cc = connected_components(pairs, a_col, b_col)
-    return cc.groupBy("component_id").agg(F.count("*").cast("long").alias("n_members"))
+    return cluster_sizes(connected_components(pairs, a_col, b_col))

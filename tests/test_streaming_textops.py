@@ -40,7 +40,7 @@ def test_streaming_chunk_and_winnow_match_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), out_name
         got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
         want = sorted(map(tuple, op(batch).collect()))
         assert got == want and len(want) > 0, out_name
