@@ -827,6 +827,13 @@ def _q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filter (r05 batch 6): broadcast LEFT ANTI join
+    against the pinned blocklist table — zero shuffle on the corpus
+    side."""
+    return webtext.blocklist_filter(_docs(spark, sf_dir))
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (r05 batch 6, MOSS algorithm): rightmost
     min of each w-window of k-gram hashes — shuffle-free Arrow pass,
@@ -985,7 +992,7 @@ _DRIVER_WINDOW = [
     "bigram_top100", "text_index_top200", "pagerank_3iter",
     "pmi_top100", "ann_pq_top10", "bpe_token_counts",
     "dedup_url_latest", "crawl_diff", "chunk_windows",
-    "winnow_fingerprints", "dedup_cluster_sizes",
+    "winnow_fingerprints", "dedup_cluster_sizes", "blocklist_filter",
     # headline veterans keeping their driver slot
     "golden_stab_cases", "pip_rect_join", "pip_rect_join_salted",
     "pip_rect_join_fused", "pip_rect_join_bucketed",
@@ -994,7 +1001,6 @@ _DRIVER_WINDOW = [
     "dissolve_golden", "normalize_cells_golden", "minhash_lsh_pairs",
     "simhash_near_dup_pairs", "dedup_components", "ann_cosine_top10",
     "ann_ivf_top10", "asof_click_before_error", "sessionize_30m",
-    "event_value_stats",
 ]
 # the driver records EXACTLY the first 50 entries; a silent 51st would
 # fall outside the gate window unnoticed (review r05)
@@ -1109,6 +1115,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": _q_chunk_windows,
         "winnow_fingerprints": _q_winnow,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "blocklist_filter": _q_blocklist_filter,
     }
 
 
@@ -1504,6 +1511,7 @@ def oracle_sql() -> dict[str, str]:
             k=200,
         ),
         "dedup_url_latest": webtext_sql.dedup_url_latest_sql(),
+        "blocklist_filter": webtext_sql.blocklist_filter_sql(),
         "crawl_diff": webtext_sql.crawl_diff_sql(),
         "chunk_windows": webtext_sql.chunk_windows_sql(),
         "winnow_fingerprints": webtext_sql.winnow_sql(),

@@ -235,6 +235,7 @@ def run_headline(spark) -> dict[str, float]:
         "chunk_windows",
         "winnow_fingerprints",
         "dedup_cluster_sizes",
+        "blocklist_filter",
     ):
         q[name] = best_of(lambda n=name: queries[n](spark, SF_DIR).count())
 

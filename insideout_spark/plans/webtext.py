@@ -3230,3 +3230,35 @@ def winnow_fingerprints(
     return ensure_parallel(docs.select("doc_id", text_col), "doc_id").mapInPandas(
         run, schema="doc_id long, pos long, fp long"
     )
+
+
+# deterministic stand-in for a UT1-style domain blocklist: real
+# pipelines broadcast a blocklist TABLE (too big for an IN-literal),
+# so the operator takes the join path, not an isin()
+_DEFAULT_BLOCKLIST = ("site13.com", "site42.net", "site7.org", "site64.com")
+
+
+def blocklist_filter(docs: DataFrame, blocked_domains=None) -> DataFrame:
+    """Domain-blocklist filtering — the safety/compliance step every
+    crawl pipeline runs before training: parse the registered domain
+    from the (synthesized, deterministic) url and keep only docs whose
+    domain is NOT on the blocklist.
+
+    Scale shape: the blocklist is a TABLE on the small side of a
+    broadcast LEFT ANTI join (a UT1-scale list is millions of rows —
+    broadcastable, but not an IN-literal), so the corpus side streams
+    through one whole-stage-codegen stage with zero shuffle
+    (plan-contract pinned). Oracle: webtext_sql.blocklist_filter_sql
+    (NOT IN over the same pinned list)."""
+    if blocked_domains is None:
+        blocked_domains = _DEFAULT_BLOCKLIST
+    spark = docs.sparkSession
+    url = synth_url()
+    host = F.regexp_extract(url, r"https?://([^/?]+)", 1)
+    domain = F.regexp_replace(host, r"^www\.", "")
+    bl = spark.createDataFrame([(d,) for d in blocked_domains], "domain string")
+    return (
+        docs.select("doc_id", domain.alias("domain"))
+        .join(F.broadcast(bl), "domain", "left_anti")
+        .select("doc_id", "domain")
+    )

@@ -1342,3 +1342,18 @@ def winnow_sql(table: str = "documents", k: int = None, w: int = 4) -> str:
         f"CAST(CASE WHEN whl[pos + 1] >= {_TWO63} THEN whl[pos + 1] - {_TWO64} "
         "ELSE whl[pos + 1] END AS BIGINT) AS fp FROM pick"
     )
+
+
+def blocklist_filter_sql(table: str = "documents", blocked_domains=None) -> str:
+    """Oracle for webtext.blocklist_filter — identical url/domain
+    parse, NOT IN over the identical pinned list."""
+    if blocked_domains is None:
+        blocked_domains = webtext._DEFAULT_BLOCKLIST
+    lits = ", ".join(f"'{d}'" for d in blocked_domains)
+    return (
+        f"WITH u AS (SELECT doc_id, {_synth_url_sql()} AS url FROM {table}), "
+        "d AS (SELECT doc_id, "
+        "regexp_replace(regexp_extract(url, 'https?://([^/?]+)', 1), "
+        "'^www\\.', '') AS domain FROM u) "
+        f"SELECT doc_id, domain FROM d WHERE domain NOT IN ({lits})"
+    )

@@ -232,3 +232,16 @@ def test_chunk_windows_zero_shuffle_no_python(spark):
     assert "Exchange" not in p
     for py in ("ArrowEval", "BatchEvalPython", "MapInPandas"):
         assert py not in p
+
+
+def test_blocklist_filter_broadcast_anti_no_shuffle(spark):
+    """The corpus side must stream through a broadcast LEFT ANTI join —
+    no hash-partitioned Exchange anywhere."""
+    from insideout_spark.plans import webtext
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)], "doc_id long, source string"
+    )
+    p = _plan(webtext.blocklist_filter(df))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "hashpartitioning" not in p
