@@ -827,6 +827,19 @@ def _q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style normalization (r05 batch 6): control chars ->
+    spaces, whitespace-run collapse, trim — on deterministically
+    dirtied text; pure-Catalyst regexp chain, zero shuffle."""
+    return webtext.normalize_text(_docs(spark, sf_dir))
+
+
+def _q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-QA confusion matrix (r05 batch 6): corpus lang column vs
+    the stopword-ratio guess, one combinable shuffle on (lang, guess)."""
+    return webtext.lang_mismatch_stats(_docs(spark, sf_dir))
+
+
 def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-blocklist filter (r05 batch 6): broadcast LEFT ANTI join
     against the pinned blocklist table — zero shuffle on the corpus
@@ -993,6 +1006,7 @@ _DRIVER_WINDOW = [
     "pmi_top100", "ann_pq_top10", "bpe_token_counts",
     "dedup_url_latest", "crawl_diff", "chunk_windows",
     "winnow_fingerprints", "dedup_cluster_sizes", "blocklist_filter",
+    "normalize_text", "lang_mismatch_stats",
     # headline veterans keeping their driver slot
     "golden_stab_cases", "pip_rect_join", "pip_rect_join_salted",
     "pip_rect_join_fused", "pip_rect_join_bucketed",
@@ -1000,7 +1014,7 @@ _DRIVER_WINDOW = [
     "grid_assign_r7", "s2_assign_l10", "knn3_cell_join",
     "dissolve_golden", "normalize_cells_golden", "minhash_lsh_pairs",
     "simhash_near_dup_pairs", "dedup_components", "ann_cosine_top10",
-    "ann_ivf_top10", "asof_click_before_error", "sessionize_30m",
+    "ann_ivf_top10",
 ]
 # the driver records EXACTLY the first 50 entries; a silent 51st would
 # fall outside the gate window unnoticed (review r05)
@@ -1116,6 +1130,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "blocklist_filter": _q_blocklist_filter,
+        "normalize_text": _q_normalize_text,
+        "lang_mismatch_stats": _q_lang_mismatch,
     }
 
 
@@ -1512,6 +1528,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_url_latest": webtext_sql.dedup_url_latest_sql(),
         "blocklist_filter": webtext_sql.blocklist_filter_sql(),
+        "normalize_text": webtext_sql.normalize_text_sql(),
+        "lang_mismatch_stats": (
+            f"WITH g AS (SELECT doc_id, CASE WHEN {fr} > {en} THEN 'fr' "
+            f"WHEN {en} > {fr} THEN 'en' ELSE 'und' END AS lang_guess "
+            "FROM documents) "
+            "SELECT d.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents d JOIN g ON g.doc_id = d.doc_id "
+            "GROUP BY d.lang, g.lang_guess"
+        ),
         "crawl_diff": webtext_sql.crawl_diff_sql(),
         "chunk_windows": webtext_sql.chunk_windows_sql(),
         "winnow_fingerprints": webtext_sql.winnow_sql(),

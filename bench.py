@@ -236,6 +236,8 @@ def run_headline(spark) -> dict[str, float]:
         "winnow_fingerprints",
         "dedup_cluster_sizes",
         "blocklist_filter",
+        "normalize_text",
+        "lang_mismatch_stats",
     ):
         q[name] = best_of(lambda n=name: queries[n](spark, SF_DIR).count())
 

@@ -3262,3 +3262,60 @@ def blocklist_filter(docs: DataFrame, blocked_domains=None) -> DataFrame:
         .join(F.broadcast(bl), "domain", "left_anti")
         .select("doc_id", "domain")
     )
+
+
+def dirty_augmented_text(text_col: str = "text", id_col: str = "doc_id"):
+    """Deterministic 'dirty' text derived from (text, doc_id) — the
+    synthetic corpus is already clean, so the normalization chain
+    under test is exercised on text dirtied identically in Spark and
+    the DuckDB oracle (the pii_augmented_text pattern): leading
+    spaces, embedded control chars, tab/CR/LF runs, trailing blanks."""
+    did = F.col(id_col)
+    return F.concat(
+        F.when(F.pmod(did, F.lit(2)) == 0, F.lit("  ")).otherwise(F.lit("")),
+        F.col(text_col),
+        F.when(
+            F.pmod(did, F.lit(3)) == 0,
+            F.concat(F.lit("\t\t dirty"), F.lit(chr(1)), F.lit("bits \r\n ")),
+        ).otherwise(F.lit(" ")),
+    )
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style text normalization — the cleanup stage before
+    tokenization: map C0/DEL control characters to spaces, collapse
+    every whitespace run to a single space, trim. Runs on
+    deterministically dirtied text (dirty_augmented_text) so the gate
+    exercises every branch.
+
+    Scale shape: a pure-Catalyst regexp chain in whole-stage codegen,
+    zero shuffle, embarrassingly parallel. Oracle:
+    webtext_sql.normalize_text_sql (identical explicit character
+    classes — no \\p{...} classes, which differ between Java regex and
+    RE2)."""
+    dirty = dirty_augmented_text(text_col)
+    no_ctrl = F.regexp_replace(dirty, "[\\x00-\\x1f\\x7f]", " ")
+    collapsed = F.trim(F.regexp_replace(no_ctrl, " {2,}", " "))
+    return docs.select(
+        "doc_id",
+        collapsed.alias("norm_text"),
+        (F.length(dirty) - F.length(collapsed)).cast("long").alias("n_removed"),
+    )
+
+
+def lang_mismatch_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Label-QA confusion matrix: the corpus's lang column vs the
+    stopword-ratio lang_guess — the 'how mislabeled is this crawl'
+    dashboard every curation run checks before language filtering.
+
+    Scale shape: the guess is the existing pure-Catalyst hit-count
+    chain; ONE map-side-combinable shuffle on the tiny (lang, guess)
+    key. Oracle built from the identical hit-count SQL in
+    __spark_entry__ (the lang_guess oracle's expression)."""
+    g = lang_guess(docs, text_col)
+    return (
+        docs.select("doc_id", "lang")
+        .join(g.select("doc_id", "lang_guess"), "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

@@ -1357,3 +1357,22 @@ def blocklist_filter_sql(table: str = "documents", blocked_domains=None) -> str:
         "'^www\\.', '') AS domain FROM u) "
         f"SELECT doc_id, domain FROM d WHERE domain NOT IN ({lits})"
     )
+
+
+def normalize_text_sql(table: str = "documents") -> str:
+    """Oracle for webtext.normalize_text — identical deterministic
+    dirt, identical explicit-class regex chain (RE2 and Java regex
+    agree on [\\x00-\\x1f\\x7f] and ' {2,}')."""
+    dirty = (
+        "(CASE WHEN doc_id % 2 = 0 THEN '  ' ELSE '' END || text || "
+        "CASE WHEN doc_id % 3 = 0 THEN chr(9) || chr(9) || ' dirty' || "
+        "chr(1) || 'bits ' || chr(13) || chr(10) || ' ' ELSE ' ' END)"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, {dirty} AS dirty FROM {table}), "
+        "c AS (SELECT doc_id, dirty, trim(regexp_replace("
+        "regexp_replace(dirty, '[\\x00-\\x1f\\x7f]', ' ', 'g'), "
+        "' {2,}', ' ', 'g')) AS norm_text FROM d) "
+        "SELECT doc_id, norm_text, "
+        "CAST(length(dirty) - length(norm_text) AS BIGINT) AS n_removed FROM c"
+    )

@@ -245,3 +245,14 @@ def test_blocklist_filter_broadcast_anti_no_shuffle(spark):
     p = _plan(webtext.blocklist_filter(df))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "hashpartitioning" not in p
+
+
+def test_normalize_text_zero_shuffle(spark):
+    """The normalization chain is a pure projection — no Exchange, no
+    Python eval."""
+    from insideout_spark.plans import webtext
+
+    p = _plan(webtext.normalize_text(_docs(spark)))
+    assert "Exchange" not in p
+    for py in ("ArrowEval", "BatchEvalPython", "InPandas"):
+        assert py not in p

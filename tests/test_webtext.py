@@ -1883,3 +1883,23 @@ def test_winnow_guarantee_and_rightmost_min(spark):
     fps1 = {fp for _, fp in got[1]}
     fps2 = {fp for _, fp in got[2]}
     assert fps1 & fps2, "shared w+k-1 run must share a fingerprint"
+
+
+def test_normalize_text_branches(spark):
+    """Normalization semantics on every dirt branch: control chars ->
+    space, whitespace runs collapse, leading/trailing trimmed."""
+    from insideout_spark.plans import webtext
+
+    docs = spark.createDataFrame(
+        [(0, "alpha  beta"), (3, "x\ty"), (1, "clean one")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["norm_text"], r["n_removed"])
+           for r in webtext.normalize_text(docs).collect()}
+    # doc 0: '  ' prefix + 'alpha  beta' + dirt (0%3==0) -> internal
+    # run collapsed, control char replaced, all edges trimmed
+    assert got[0] == ("alpha beta dirty bits", len("  alpha  beta\t\t dirty\x01bits \r\n ") - len("alpha beta dirty bits"))
+    # doc 3: odd -> no prefix; 3%3==0 -> dirt; tab inside collapses
+    assert got[3][0] == "x y dirty bits"
+    # doc 1: odd, 1%3!=0 -> only the trailing ' ' is trimmed
+    assert got[1] == ("clean one", 1)
