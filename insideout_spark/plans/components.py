@@ -69,6 +69,16 @@ def _stats_barrier(df: DataFrame) -> DataFrame:
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 
+# Label tables at or under this row count are BROADCAST into the
+# per-round propagation join, so the (much larger) edge table is never
+# re-shuffled per round — at sf1 the edge table is 10.4M rows vs a 47k
+# label table, and the broadcast join removes one full edge shuffle per
+# round (guide §3.1/§2.4). Above the cap the sort-merge shape is kept:
+# a label table of billions of nodes cannot be broadcast. Parameterised
+# for cluster tuning; 4M labels ~ 64 MB broadcast.
+_BROADCAST_LABEL_CAP = int(os.environ.get("INSIDEOUT_CC_BROADCAST_CAP", "4000000"))
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -97,12 +107,23 @@ def connected_components(
     and exists as the declared escape hatch; tiny budgets (max_iters
     2-3) exercise it in tests. A contraction that fails to shrink the
     node count, or depth past 64, raises instead of looping."""
-    edges = pairs.select(
-        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    # orientation-normalize BEFORE the distinct so the dedup shuffle
+    # carries one row per undirected edge (half the bytes of the old
+    # symmetrize-then-distinct); the flipped half is then union'd back
+    # disjointly (src < dst vs src > dst; self-loops live only in the
+    # normalized half), so no second distinct is needed.
+    norm = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).cast("long").alias("src"),
+            F.greatest(F.col(a_col), F.col(b_col)).cast("long").alias("dst"),
+        )
+        .distinct()
     )
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = norm.unionByName(
+        norm.filter(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
     # localCheckpoint TRUNCATES the logical plan, not just caches it:
     # every iteration references its inputs twice (union + propagation
     # join), so with plain persist the ANALYZED plan doubles per round
@@ -111,21 +132,41 @@ def connected_components(
     # lineage each round keeps plans O(1). (Checkpoint blocks are freed
     # by the ContextCleaner when the frames are garbage-collected.)
     edges = edges.localCheckpoint(eager=True)
-    # no checkpoint for the seed labels: the plan is two ops over the
-    # already-checkpointed edges, and round 1 replaces it — skipping
-    # the eager materialization saves one driver action per call
+    # seed labels WITH the first neighbor-min step folded in: every
+    # node appears as src in the symmetric edge table, so
+    # groupBy(src).min(dst) + least(node, ·) computes round 1's
+    # neighbor min as ONE map-combinable aggregation — no join, and
+    # one fewer propagation round. Any seed with
+    # lab(v) ∈ component(v) and lab(v) <= v converges to the same
+    # fixpoint (min id in component), so the result is unchanged.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lab", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__md"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__md")).alias("lab"),
+        )
+        .localCheckpoint(eager=True)
     )
+    # one tiny agg over the checkpointed labels: node count (gates the
+    # broadcast shape) and the exact decimal label sum (the convergence
+    # baseline — labels are element-wise non-increasing, so an
+    # unchanged sum means an unchanged table)
+    n_nodes, prev_sum = labels.agg(
+        F.count("*"), F.sum(F.col("lab").cast("decimal(38,0)"))
+    ).collect()[0]
+    small = n_nodes <= _BROADCAST_LABEL_CAP
+    _b = F.broadcast if small else (lambda df: df)
     for _it in range(int(max_iters)):
         if _it > 0 and _it % _STATS_BARRIER_EVERY == 0:
             labels = _stats_barrier(labels)
         # step 1: neighbor min — every node takes the min label among
-        # itself and its direct neighbors
+        # itself and its direct neighbors. The label side is broadcast
+        # when it fits (see _BROADCAST_LABEL_CAP): the edge table then
+        # streams straight out of its checkpoint into a map-side
+        # partial min — zero edge shuffle per round.
         prop = edges.join(
-            labels.select(F.col("node").alias("src"), "lab"), "src"
+            _b(labels.select(F.col("node").alias("src"), "lab")), "src"
         ).select(F.col("dst").alias("node"), "lab")
         m = (
             labels.unionByName(prop)
@@ -137,20 +178,22 @@ def connected_components(
         # length-L chain converges in O(log L) rounds instead of O(L)
         # (real near-dup graphs contain long drift chains)
         jump = m.select(F.col("node").alias("__ln"), F.col("lab").alias("__ll"))
-        # lazy checkpoint: the changed-count action right below
-        # materializes it — one job per round instead of two
+        # lazy checkpoint: the convergence agg right below materializes
+        # it — one job per round instead of two
         new = (
-            m.join(jump, m["lab"] == jump["__ln"], "left")
+            m.join(_b(jump), m["lab"] == jump["__ln"], "left")
             .select("node", F.least(F.col("lab"), F.coalesce("__ll", "lab")).alias("lab"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new.join(labels.select("node", F.col("lab").alias("__old")), "node")
-            .filter(F.col("lab") != F.col("__old"))
-            .count()
-        )
+        # convergence: labels only ever decrease (min over a set that
+        # contains the old label), so the exact decimal sum is strictly
+        # smaller than prev_sum iff ANY label changed — one combinable
+        # aggregation instead of the old join+filter+count per round.
+        cur_sum = new.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
+        changed = cur_sum != prev_sum
         labels = new
-        if changed == 0:
+        prev_sum = cur_sum
+        if not changed:
             break
     else:
         # star-contraction fallback: recurse on the label-contracted

@@ -363,8 +363,37 @@ def _register_sig_cache(df: DataFrame, auto_release: bool) -> DataFrame:
     # a 2 s fingerprint pass; Arrow transport is serialized on this
     # box, so concurrent duplicate passes stack). One count() up front
     # guarantees a single pass.
-    df.count()
+    df._io_nrows = df.count()  # row count reused by the broadcast gate
     return df
+
+
+# Signature/fingerprint frames at or under these bounds are BROADCAST
+# into the per-pair re-attach joins (guide §3.1): the candidate-pair
+# table (millions of rows at sf1) then streams through two broadcast
+# hash lookups instead of being shuffled and sorted twice against the
+# signature table. Row gate when the row count is known (the cached
+# signature path counts eagerly anyway); optimizer size-estimate gate
+# otherwise (exact for parquet-backed signature tables). Above the
+# caps — corpus-scale signature tables — the shuffle join is kept.
+_SIG_BROADCAST_ROWS = int(os.environ.get("INSIDEOUT_SIG_BROADCAST_ROWS", "2000000"))
+_SIG_BROADCAST_BYTES = int(
+    os.environ.get("INSIDEOUT_SIG_BROADCAST_BYTES", str(256 << 20))
+)
+
+
+def _sig_broadcaster(df: DataFrame):
+    """Return F.broadcast when `df` is provably small, identity
+    otherwise — join RESULTS are identical either way."""
+    n = getattr(df, "_io_nrows", None)
+    if n is not None:
+        small = n <= _SIG_BROADCAST_ROWS
+    else:
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:  # pragma: no cover - py4j edge
+            est = 1 << 62
+        small = est <= _SIG_BROADCAST_BYTES
+    return F.broadcast if small else (lambda d: d)
 
 
 def _capped_bucket_pairs(
@@ -557,6 +586,7 @@ def minhash_lsh_pairs(
     # the chain's order key is the FULL 32-value signature string, so
     # near-dup sub-clusters sort contiguously and stay connected
     # through edges that genuinely pass the threshold.
+    _b = _sig_broadcaster(sigs)
     sig_ord = sigs.select(
         "doc_id",
         F.concat_ws(
@@ -565,11 +595,11 @@ def minhash_lsh_pairs(
     )
     pairs = _capped_bucket_pairs(
         bands, ["band", "bh"], "doc_id", "doc_a", "doc_b", bucket_cap,
-        order_df=sig_ord,
+        order_df=_b(sig_ord),
     )
     pairs = (
-        pairs.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
-        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
+        pairs.join(_b(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))), "doc_a")
+        .join(_b(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))), "doc_b")
     )
     est = _sig_est_jaccard()
     return (
@@ -611,20 +641,22 @@ def dedup_incremental(
     )
     nb = _sig_bands(new_sigs).withColumnRenamed("doc_id", "n_doc")
     cb = _sig_bands(corpus_signatures).withColumnRenamed("doc_id", "c_doc")
+    _bn = _sig_broadcaster(new_sigs)
+    _bc = _sig_broadcaster(corpus_signatures)
     cross = (
         nb.join(cb, ["band", "bh"])
         .select("n_doc", "c_doc")
         .dropDuplicates(["n_doc", "c_doc"])
         .join(
-            new_sigs.select(
+            _bn(new_sigs.select(
                 F.col("doc_id").alias("n_doc"), F.col("sig").alias("sig_a")
-            ),
+            )),
             "n_doc",
         )
         .join(
-            corpus_signatures.select(
+            _bc(corpus_signatures.select(
                 F.col("doc_id").alias("c_doc"), F.col("sig").alias("sig_b")
-            ),
+            )),
             "c_doc",
         )
         .filter(_sig_est_jaccard() >= threshold)
@@ -966,15 +998,16 @@ def simhash_near_dup_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bv")
+    _b = _sig_broadcaster(sh)
     pairs = _capped_bucket_pairs(
         bands, ["band", "bv"], "doc_id", "doc_a", "doc_b", bucket_cap,
-        order_df=sh.select("doc_id", F.col("simhash").alias("__ord")),
+        order_df=_b(sh.select("doc_id", F.col("simhash").alias("__ord"))),
     )
     pairs = pairs.join(
-        sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa")),
+        _b(sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))),
         "doc_a",
     ).join(
-        sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb")),
+        _b(sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))),
         "doc_b",
     )
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
@@ -982,6 +1015,57 @@ def simhash_near_dup_pairs(
         pairs.select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _gram_frame(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, block, ng, grams): distinct token n-grams per doc plus
+    the opening-bigram block key and the gram count, computed in ONE
+    Arrow-batched Python pass and materialized via localCheckpoint so
+    blocking, the size-ratio prefilter and both pair-side gram attaches
+    all reuse it (r06, guide §4.2). The previous pure-Catalyst formula
+    (transform over sequence + slice + concat_ws + array_distinct)
+    measured 27 s for ONE pass over 50k sf1 docs on local[32] — ~17 ms
+    of core time per doc in allocation churn — and the query plan
+    re-evaluated it per consumer. Tokenization mirrors the Catalyst /
+    DuckDB-oracle semantics exactly: trim spaces only, split on ' +',
+    first-occurrence-ordered distinct, and for docs shorter than n
+    tokens one truncated gram (the whole token list)."""
+    import re
+
+    nn = int(n)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blocks, ngs, gram_lists = [], [], []
+            for t in _texts(pdf[text_col]):
+                toks = re.split(" +", t.strip(" "))
+                if len(toks) >= nn:
+                    gs = list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + nn])
+                            for i in range(len(toks) - nn + 1)
+                        )
+                    )
+                else:
+                    gs = [" ".join(toks)]
+                blocks.append(toks[0] + "|" + (toks[1] if len(toks) > 1 else ""))
+                ngs.append(len(gs))
+                gram_lists.append(gs)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "block": blocks,
+                    "ng": ngs,
+                    "grams": gram_lists,
+                }
+            )
+
+    out = ensure_parallel(docs.select("doc_id", text_col), "doc_id").mapInPandas(
+        run, schema="doc_id long, block string, ng int, grams array<string>"
+    )
+    return out.localCheckpoint(eager=True)
 
 
 def ngram_jaccard_pairs(
@@ -1014,42 +1098,38 @@ def ngram_jaccard_pairs(
     back, the clique self-join, and the chain's window add no second
     shuffle key. Exactly mirrored (cap included) by the DuckDB oracle
     in webtext_sql.ngram_pairs_sql."""
-    toks = F.split(F.trim(F.col(text_col)), " +")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
-    # try_element_at: ANSI element_at THROWS on out-of-bounds, so a
-    # single one-token document would kill the whole job
-    block = F.concat_ws(
-        "|",
-        F.try_element_at(toks, F.lit(1)),
-        F.coalesce(F.try_element_at(toks, F.lit(2)), F.lit("")),
-    )
-    d = docs.select("doc_id", block.alias("block"), grams.alias("grams"))
+    # SLIM pair generation (r06, guide §8 "decide with small rows"):
+    # blocking, the block-key self-join / chain window, and the
+    # size-ratio prefilter all run over (doc_id, block, n_grams) —
+    # previously the full gram arrays rode the block shuffle, the
+    # chain window's sort (as a lagged struct) and the clique join.
+    # Gram arrays are attached only to the pairs that SURVIVE the
+    # prefilter, by two doc_id joins against the one materialized gram
+    # pass (_gram_frame). Same pairs, same arrays, same Jaccard — just
+    # a different physical order of attachment.
+    gf = _gram_frame(docs, text_col, n)
+    slim = gf.select("doc_id", "block", "ng")
     if block_cap is None:
-        a = d.select(F.col("doc_id").alias("doc_a"), "block", F.col("grams").alias("ga"))
-        b = d.select(F.col("doc_id").alias("doc_b"), "block", F.col("grams").alias("gb"))
+        a = slim.select(F.col("doc_id").alias("doc_a"), "block", F.col("ng").alias("na"))
+        b = slim.select(F.col("doc_id").alias("doc_b"), "block", F.col("ng").alias("nb"))
         pairs = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
     else:
-        stats = d.groupBy("block").agg(F.count("*").alias("__bn"))
-        dd = d.join(stats, "block")
+        stats = slim.groupBy("block").agg(F.count("*").alias("__bn"))
+        dd = slim.join(stats, "block")
         small = dd.filter(F.col("__bn") <= block_cap)
         clique = (
-            small.select(F.col("doc_id").alias("doc_a"), "block", F.col("grams").alias("ga"))
+            small.select(F.col("doc_id").alias("doc_a"), "block", F.col("ng").alias("na"))
             .join(
-                small.select(F.col("doc_id").alias("doc_b"), "block", F.col("grams").alias("gb")),
+                small.select(F.col("doc_id").alias("doc_b"), "block", F.col("ng").alias("nb")),
                 "block",
             )
             .filter(F.col("doc_a") < F.col("doc_b"))
         )
         # chain: consecutive members in (|grams|, doc_id) order; each
         # doc has ONE block so consecutive pairs are distinct, no dedup
-        w = Window.partitionBy("block").orderBy(F.size("grams"), F.col("doc_id"))
+        w = Window.partitionBy("block").orderBy(F.col("ng"), F.col("doc_id"))
         prev = F.lag(
-            F.struct(F.col("doc_id").alias("id"), F.col("grams").alias("g"))
+            F.struct(F.col("doc_id").alias("id"), F.col("ng").alias("n"))
         ).over(w)
         chained = (
             dd.filter(F.col("__bn") > block_cap)
@@ -1060,19 +1140,28 @@ def ngram_jaccard_pairs(
         chain = chained.select(
             F.when(fwd, F.col("__p.id")).otherwise(F.col("doc_id")).alias("doc_a"),
             F.when(fwd, F.col("doc_id")).otherwise(F.col("__p.id")).alias("doc_b"),
-            F.when(fwd, F.col("__p.g")).otherwise(F.col("grams")).alias("ga"),
-            F.when(fwd, F.col("grams")).otherwise(F.col("__p.g")).alias("gb"),
+            F.when(fwd, F.col("__p.n")).otherwise(F.col("ng")).alias("na"),
+            F.when(fwd, F.col("ng")).otherwise(F.col("__p.n")).alias("nb"),
         )
-        cols = ["doc_a", "doc_b", "ga", "gb"]
+        cols = ["doc_a", "doc_b", "na", "nb"]
         pairs = clique.select(cols).unionByName(chain.select(cols))
     # size-ratio prefilter: J(A,B) <= min/max, so Jaccard >= t requires
     # min(|A|,|B|) >= t * max(|A|,|B|) — prunes most pairs before the
     # O(|A|+|B|) set intersection (exact integer sizes, identical
     # arithmetic in the DuckDB oracle)
-    sa, sb = F.size("ga").cast("double"), F.size("gb").cast("double")
+    sa, sb = F.col("na").cast("double"), F.col("nb").cast("double")
     pairs = pairs.filter(F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb))
+    garr = gf.select("doc_id", "grams")
+    pairs = pairs.join(
+        garr.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")), "doc_a"
+    ).join(
+        garr.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb")), "doc_b"
+    )
     inter = F.size(F.array_intersect("ga", "gb"))
-    union = F.size(F.array_union("ga", "gb"))
+    # |A ∪ B| = |A| + |B| − |A ∩ B| for the already-distinct gram sets:
+    # the same integer array_union produced, without a second per-pair
+    # hash-set pass
+    union = F.col("na") + F.col("nb") - inter
     jac = inter.cast("double") / union.cast("double")
     return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
