@@ -107,20 +107,21 @@ def connected_components(
     and exists as the declared escape hatch; tiny budgets (max_iters
     2-3) exercise it in tests. A contraction that fails to shrink the
     node count, or depth past 64, raises instead of looping."""
-    # orientation-normalize BEFORE the distinct so the dedup shuffle
-    # carries one row per undirected edge (half the bytes of the old
-    # symmetrize-then-distinct); the flipped half is then union'd back
-    # disjointly (src < dst vs src > dst; self-loops live only in the
-    # normalized half), so no second distinct is needed.
-    norm = (
-        pairs.select(
-            F.least(F.col(a_col), F.col(b_col)).cast("long").alias("src"),
-            F.greatest(F.col(a_col), F.col(b_col)).cast("long").alias("dst"),
-        )
-        .distinct()
+    # NO edge dedup (r06): every producer of near-dup pairs in this
+    # engine (minhash/simhash/ngram/embedding) already emits distinct
+    # (a < b) pairs, so the old defensive symmetrize-then-distinct paid
+    # a full shuffle of the pair table (measured 3.6 s of a 9.6 s CC at
+    # sf1) for nothing. Duplicate edges would not change the fixpoint —
+    # min over a multiset equals min over its set — only inflate the
+    # per-round propagation input, so skipping the distinct is safe for
+    # correctness on ANY input and cheaper on ours (map-only edge
+    # build: 0.7 s). Self-loops are kept once (flip filtered), so every
+    # node still appears as src.
+    base = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
     )
-    edges = norm.unionByName(
-        norm.filter(F.col("src") != F.col("dst")).select(
+    edges = base.unionByName(
+        base.filter(F.col("src") != F.col("dst")).select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
     )

@@ -1565,6 +1565,80 @@ def lsh_bucket_ann(
     )
 
 
+def _bucket_pairs_arrow(
+    bands: DataFrame,
+    key_cols: list,
+    id_col: str,
+    a_name: str,
+    b_name: str,
+    bucket_cap: int | None,
+) -> DataFrame:
+    """Id-ordered candidate pairs per LSH bucket, generated NATIVELY:
+    one tiny groupBy collects each bucket's member ids, then numpy
+    emits the clique (triu indices, n <= cap) or the sorted-id
+    consecutive chain (n > cap) per bucket — the exact pair set of
+    `_capped_bucket_pairs(..., order_df=None)` (clique pairs a < b;
+    chain pairs = consecutive members in id order, least/greatest
+    oriented), without the bucket self-join, the per-bucket window or
+    the stats re-join (r06, guide §4.2: at sf1 the join-based
+    generation of 7.2M embedding candidates took 11.8 s; the grouped
+    native pass replaces it with one 160k-row shuffle). The final
+    dropDuplicates matches the join path's cross-table dedup."""
+    import numpy as np
+
+    grouped = bands.groupBy(*key_cols).agg(F.collect_list(id_col).alias("__ids"))
+    # bucket count is tiny (tables x 2^planes) and AQE coalesces the
+    # groupBy output to one partition — spread the per-bucket pair
+    # generation back across the cluster
+    grouped = grouped.repartition(
+        bands.sparkSession.sparkContext.defaultParallelism
+    )
+    cap = -1 if bucket_cap is None else int(bucket_cap)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs_a, outs_b = [], []
+            for ids in pdf["__ids"]:
+                arr = np.sort(np.asarray(ids, dtype=np.int64))
+                n = len(arr)
+                if n < 2:
+                    continue
+                if 0 <= cap < n:
+                    outs_a.append(arr[:-1])
+                    outs_b.append(arr[1:])
+                else:
+                    iu, ju = np.triu_indices(n, 1)
+                    outs_a.append(arr[iu])
+                    outs_b.append(arr[ju])
+            if outs_a:
+                yield pd.DataFrame(
+                    {
+                        a_name: np.concatenate(outs_a),
+                        b_name: np.concatenate(outs_b),
+                    }
+                )
+
+    pairs = grouped.select("__ids").mapInPandas(
+        run, schema=f"{a_name} long, {b_name} long"
+    )
+    return pairs.dropDuplicates([a_name, b_name])
+
+
+# embedding corpora whose quantized matrix fits under this many bytes
+# are rescored with a BROADCAST matrix + vectorized numpy dot products
+# (the cosine_topk_brute broadcast pattern) instead of two per-pair
+# array-attach joins + per-pair Catalyst fold arithmetic; identical
+# values (quantized integer arithmetic is order-independent in float64
+# and sqrt/divide are correctly rounded in both runtimes), and the
+# round+threshold filter stays in Catalyst either way. Above the cap
+# the join path is kept — a corpus-scale matrix cannot be broadcast.
+_EMB_RESCORE_BROADCAST_BYTES = int(
+    os.environ.get("INSIDEOUT_EMB_RESCORE_BYTES", str(256 << 20))
+)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -1588,6 +1662,44 @@ def embedding_near_dup_pairs(
     dim = len(embeddings.select(vec_col).first()[0])
     planes = lsh_planes(n_tables, n_planes, dim)
     b = _lsh_bucket_df(embeddings, planes, vec_col, id_col)
+    spark = embeddings.sparkSession
+    n_vecs = embeddings.count()
+    if n_vecs * dim * 8 <= _EMB_RESCORE_BROADCAST_BYTES:
+        pairs = _bucket_pairs_arrow(
+            b, ["table", "bucket"], "vid", "vec_a", "vec_b", bucket_cap
+        )
+        pdf = embeddings.select(id_col, vec_col).toPandas()
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = _quantize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+        def score(batches):
+            import pandas as pd
+
+            sids, q, nrm = bc.value
+            for p in batches:
+                a = p["vec_a"].to_numpy()
+                bb = p["vec_b"].to_numpy()
+                ia = np.searchsorted(sids, a)
+                ib = np.searchsorted(sids, bb)
+                va, vb = q[ia], q[ib]
+                # exact: integer-valued products/sums < 2^53, so the
+                # einsum total equals the Catalyst fold bit-for-bit
+                dot = np.einsum("ij,ij->i", va, vb)
+                cos = dot / (nrm[ia] * nrm[ib])
+                yield pd.DataFrame({"vec_a": a, "vec_b": bb, "cos_raw": cos})
+
+        scored = pairs.mapInPandas(
+            score, schema="vec_a long, vec_b long, cos_raw double"
+        ).withColumn("cos_sim", F.round(F.col("cos_raw"), round_digits))
+        return scored.filter(F.col("cos_sim") >= threshold).select(
+            "vec_a", "vec_b", "cos_sim"
+        )
+    # corpus-scale path: join-based candidate generation + per-pair
+    # Catalyst cosine (no driver-side matrix)
     pairs = _capped_bucket_pairs(
         b, ["table", "bucket"], "vid", "vec_a", "vec_b", bucket_cap
     )
