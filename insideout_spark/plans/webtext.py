@@ -507,14 +507,26 @@ def save_signatures(
     minhash_signatures(docs, text_col, k).write.mode(mode).parquet(path)
 
 
-def _sig_bands(sigs: DataFrame) -> DataFrame:
+def _sig_bands(sigs: DataFrame, with_ord: bool = False) -> DataFrame:
     """LSH band rows (doc_id, band, bh) from a (doc_id, sig) frame.
     Band key = the raw per-band value tuple (stringified), NOT a hash
     of it: the candidate set is then provably identical to the DuckDB
-    oracle's (no cross-engine hash to reproduce, no collision noise)."""
+    oracle's (no cross-engine hash to reproduce, no collision noise).
+    `with_ord=True` adds `__ord`, the full 32-value signature string —
+    the chain cap's similarity sort key."""
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    ord_cols = (
+        [
+            F.concat_ws(
+                "_", *[F.col("sig")[j].cast("string") for j in range(_MINHASH_PERMS)]
+            ).alias("__ord")
+        ]
+        if with_ord
+        else []
+    )
     return sigs.select(
         "doc_id",
+        *ord_cols,
         F.explode(
             F.array(
                 *[
@@ -534,7 +546,7 @@ def _sig_bands(sigs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "b.band", "b.bh")
+    ).select("doc_id", *(["__ord"] if with_ord else []), "b.band", "b.bh")
 
 
 def _sig_est_jaccard(a_col: str = "sig_a", b_col: str = "sig_b"):
@@ -577,6 +589,54 @@ def minhash_lsh_pairs(
         sigs = _register_sig_cache(
             minhash_signatures(docs, text_col, k), auto_release
         )
+    # NATIVE fast path (r06): when the signature table is provably
+    # small enough to hold driver-side (same bound as the broadcast
+    # gate), generate the banded candidate pairs per bucket in numpy
+    # (_bucket_pairs_arrow — no bucket self-join, no stats re-join, no
+    # chain window) and rescore with a broadcast signature matrix (one
+    # vectorized row-compare instead of two per-pair attach joins +
+    # per-pair fold arithmetic). matches/32 is the same int/int double
+    # division, the chain order key is the same 32-value signature
+    # string, and the threshold filter stays in Catalyst — identical
+    # pairs, identical est_jaccard (oracle-verified).
+    n_sigs = getattr(sigs, "_io_nrows", None)
+    if n_sigs is None and signatures is not None:
+        # persisted signature tables (the save_signatures contract):
+        # a count is metadata-cheap and callers reuse the frame
+        n_sigs = sigs.count()
+        try:
+            sigs._io_nrows = n_sigs
+        except AttributeError:  # pragma: no cover - exotic DataFrame proxy
+            pass
+    if n_sigs is not None and n_sigs <= _SIG_BROADCAST_ROWS:
+        bands = _sig_bands(sigs, with_ord=True)
+        pairs = _bucket_pairs_arrow(
+            bands, ["band", "bh"], "doc_id", "doc_a", "doc_b", bucket_cap,
+            ord_col="__ord",
+        )
+        spdf = sigs.select("doc_id", "sig").toPandas()
+        ids = spdf["doc_id"].to_numpy(dtype=np.int64)
+        smat = np.array(spdf["sig"].tolist(), dtype=np.int64)
+        o = np.argsort(ids)
+        ids, smat = ids[o], smat[o]
+        bc = sigs.sparkSession.sparkContext.broadcast((ids, smat))
+
+        def est_run(batches):
+            import pandas as pd
+
+            sids, s = bc.value
+            for p in batches:
+                a = p["doc_a"].to_numpy()
+                b = p["doc_b"].to_numpy()
+                ia = np.searchsorted(sids, a)
+                ib = np.searchsorted(sids, b)
+                est = (s[ia] == s[ib]).sum(axis=1) / float(_MINHASH_PERMS)
+                yield pd.DataFrame({"doc_a": a, "doc_b": b, "est_jaccard": est})
+
+        scored = pairs.mapInPandas(
+            est_run, schema="doc_a long, doc_b long, est_jaccard double"
+        )
+        return scored.filter(F.col("est_jaccard") >= threshold)
     bands = _sig_bands(sigs)
     # pair shuffle carries ONLY (doc_a, doc_b): dedup the banded pairs
     # first, then re-attach one signature per side (VERDICT r01 minor
@@ -982,22 +1042,26 @@ def simhash_near_dup_pairs(
     (index.go:71-74, dedup of posting hits); DuckDB oracle:
     webtext_sql.simhash_pairs_sql."""
     sh = _register_sig_cache(simhash64(docs, text_col), auto_release)
-    bands = sh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("bv"),
-                    )
-                    for i in range(_SIMHASH_BANDS)
-                ]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bv"),
             )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.bv")
+            for i in range(_SIMHASH_BANDS)
+        ]
+    )
+    # NOTE r06: the per-bucket native pair generation used by minhash /
+    # embedding was tried here and REVERTED — SimHash's 4x16-bit
+    # banding yields ~200k mostly-tiny buckets at sf1, so the grouped
+    # Python loop cost more (5.5 s) than the join path it replaced
+    # (3.4-4.0 s); the join path's per-pair work (one long attach +
+    # bit_count) is already cheap.
+    bands = sh.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.bv"
+    )
     _b = _sig_broadcaster(sh)
     pairs = _capped_bucket_pairs(
         bands, ["band", "bv"], "doc_id", "doc_a", "doc_b", bucket_cap,
@@ -1572,6 +1636,7 @@ def _bucket_pairs_arrow(
     a_name: str,
     b_name: str,
     bucket_cap: int | None,
+    ord_col: str | None = None,
 ) -> DataFrame:
     """Id-ordered candidate pairs per LSH bucket, generated NATIVELY:
     one tiny groupBy collects each bucket's member ids, then numpy
@@ -1583,10 +1648,22 @@ def _bucket_pairs_arrow(
     the stats re-join (r06, guide §4.2: at sf1 the join-based
     generation of 7.2M embedding candidates took 11.8 s; the grouped
     native pass replaces it with one 160k-row shuffle). The final
-    dropDuplicates matches the join path's cross-table dedup."""
+    dropDuplicates matches the join path's cross-table dedup.
+
+    `ord_col` (optional) replays `_capped_bucket_pairs`' similarity-key
+    chain exactly: capped-bucket members are sorted by (ord, id) —
+    Python tuple sort == the window's (`__ord`, id) ORDER BY for the
+    ASCII band-string / integer order keys used here — and consecutive
+    members pair up least/greatest-oriented."""
     import numpy as np
 
-    grouped = bands.groupBy(*key_cols).agg(F.collect_list(id_col).alias("__ids"))
+    if ord_col is not None:
+        agg = F.collect_list(
+            F.struct(F.col(id_col).alias("i"), F.col(ord_col).alias("o"))
+        ).alias("__ids")
+    else:
+        agg = F.collect_list(id_col).alias("__ids")
+    grouped = bands.groupBy(*key_cols).agg(agg)
     # bucket count is tiny (tables x 2^planes) and AQE coalesces the
     # groupBy output to one partition — spread the per-bucket pair
     # generation back across the cluster
@@ -1594,6 +1671,7 @@ def _bucket_pairs_arrow(
         bands.sparkSession.sparkContext.defaultParallelism
     )
     cap = -1 if bucket_cap is None else int(bucket_cap)
+    with_ord = ord_col is not None
 
     def run(batches):
         import pandas as pd
@@ -1601,17 +1679,31 @@ def _bucket_pairs_arrow(
         for pdf in batches:
             outs_a, outs_b = [], []
             for ids in pdf["__ids"]:
-                arr = np.sort(np.asarray(ids, dtype=np.int64))
+                if with_ord:
+                    arr = np.asarray([m["i"] for m in ids], dtype=np.int64)
+                else:
+                    arr = np.asarray(ids, dtype=np.int64)
                 n = len(arr)
                 if n < 2:
                     continue
                 if 0 <= cap < n:
-                    outs_a.append(arr[:-1])
-                    outs_b.append(arr[1:])
+                    if with_ord:
+                        chain = np.asarray(
+                            [
+                                m["i"]
+                                for m in sorted(ids, key=lambda m: (m["o"], m["i"]))
+                            ],
+                            dtype=np.int64,
+                        )
+                    else:
+                        chain = np.sort(arr)
+                    outs_a.append(np.minimum(chain[:-1], chain[1:]))
+                    outs_b.append(np.maximum(chain[:-1], chain[1:]))
                 else:
+                    s = np.sort(arr)
                     iu, ju = np.triu_indices(n, 1)
-                    outs_a.append(arr[iu])
-                    outs_b.append(arr[ju])
+                    outs_a.append(s[iu])
+                    outs_b.append(s[ju])
             if outs_a:
                 yield pd.DataFrame(
                     {

@@ -182,35 +182,40 @@ def synth_communes_loops(n: int = 400, vertices: int = 48):
     on a grid; admin_level 8 like French communes."""
     import math
 
+    import numpy as np
+
     lat0, lat1, lng0, lng1 = 46.63, 49.10, -1.10, 5.5
     cols = int(math.sqrt(n * (lng1 - lng0) / (lat1 - lat0)))
     rows_n = (n + cols - 1) // cols
     dlng = (lng1 - lng0) / cols
     dlat = (lat1 - lat0) / rows_n
-    out = []
-    for fid in range(n):
-        r, c = divmod(fid, cols)
-        cy = lat0 + (r + 0.5) * dlat
-        cx = lng0 + (c + 0.5) * dlng
-        ring = []
-        for k in range(vertices):
-            ang = 2.0 * math.pi * k / vertices
-            # deterministic wobble: radius 55-80% of the half-cell
-            wob = 0.55 + 0.25 * (0.5 + 0.5 * math.sin(7 * ang + fid))
-            ring.append(
-                [cx + 0.5 * dlng * wob * math.cos(ang), cy + 0.5 * dlat * wob * math.sin(ang)]
-            )
-        ring.append(list(ring[0]))
-        out.append(
-            {
-                "feature_id": fid,
-                "loop_pos": 0,
-                "ring": ring,
-                "properties": {"name": f"commune-{fid:04d}", "admin_level": "8"},
-                "admin_level": 8.0,
-            }
-        )
-    return out
+    # vectorized ring generation (r06): the per-vertex Python loop cost
+    # 2.3 s of the timed 35k index build; one (n, vertices) numpy
+    # broadcast computes the identical IEEE doubles (same sin/cos/fma-
+    # free expressions, same order) in ~0.1 s
+    fids = np.arange(n, dtype=np.float64)
+    r_idx, c_idx = np.divmod(np.arange(n), cols)
+    cy = lat0 + (r_idx + 0.5) * dlat
+    cx = lng0 + (c_idx + 0.5) * dlng
+    ang = 2.0 * np.pi * np.arange(vertices, dtype=np.float64) / vertices
+    wob = 0.55 + 0.25 * (0.5 + 0.5 * np.sin(7 * ang[None, :] + fids[:, None]))
+    xs = cx[:, None] + 0.5 * dlng * wob * np.cos(ang)[None, :]
+    ys = cy[:, None] + 0.5 * dlat * wob * np.sin(ang)[None, :]
+    # close each ring with its first vertex
+    xs = np.concatenate([xs, xs[:, :1]], axis=1)
+    ys = np.concatenate([ys, ys[:, :1]], axis=1)
+    rings = np.stack([xs, ys], axis=2)  # (n, vertices+1, 2)
+    ring_lists = rings.tolist()
+    return [
+        {
+            "feature_id": fid,
+            "loop_pos": 0,
+            "ring": ring_lists[fid],
+            "properties": {"name": f"commune-{fid:04d}", "admin_level": "8"},
+            "admin_level": 8.0,
+        }
+        for fid in range(n)
+    ]
 
 
 def rects_sql_predicates(loop_rows):
