@@ -78,6 +78,41 @@ def _stats_barrier(df: DataFrame) -> DataFrame:
 # for cluster tuning; 4M labels ~ 64 MB broadcast.
 _BROADCAST_LABEL_CAP = int(os.environ.get("INSIDEOUT_CC_BROADCAST_CAP", "4000000"))
 
+# Pair graphs at or under this many edges run the DRIVER-SIDE numpy
+# label propagation (the knn_brute / cosine_topk_brute bounded-collect
+# pattern): near-dup pair graphs are tiny relative to the corpus (pairs
+# only exist for near-dups), and a vectorized scatter-min + pointer-
+# jumping loop labels 5M edges in well under a second where the
+# distributed loop pays ~1 s of job overhead PER ROUND. Above the cap
+# the distributed loop runs unchanged — the gate is a count on the
+# already-materialized pair checkpoint, so nothing is collected before
+# the bound is known. 20M edges ~ 320 MB of driver arrays.
+_CC_DRIVER_EDGES = int(os.environ.get("INSIDEOUT_CC_DRIVER_EDGES", "20000000"))
+
+
+def _cc_numpy(a, b):
+    """Exact min-label fixpoint over int64 pair arrays: compact node
+    ids via np.unique (sorted, so min index == min id), scatter-min
+    both directions per round, pointer-jump to closure, repeat to the
+    fixpoint. Returns (nodes, component_id_per_node)."""
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, ib, lab[ia])
+        np.minimum.at(lab, ia, lab[ib])
+        while True:
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if np.array_equal(lab, old):
+            break
+    return nodes, nodes[lab]
+
 
 def connected_components(
     pairs: DataFrame,
@@ -85,6 +120,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iters: int = 50,
     _depth: int = 0,
+    driver_limit: int | None = None,
 ) -> DataFrame:
     """(node, component_id) for every node appearing in `pairs`;
     component_id = min node id in the component. Deterministic,
@@ -117,14 +153,7 @@ def connected_components(
     # correctness on ANY input and cheaper on ours (map-only edge
     # build: 0.7 s). Self-loops are kept once (flip filtered), so every
     # node still appears as src.
-    base = pairs.select(
-        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
-    )
-    edges = base.unionByName(
-        base.filter(F.col("src") != F.col("dst")).select(
-            F.col("dst").alias("src"), F.col("src").alias("dst")
-        )
-    )
+    spark = pairs.sparkSession
     # localCheckpoint TRUNCATES the logical plan, not just caches it:
     # every iteration references its inputs twice (union + propagation
     # join), so with plain persist the ANALYZED plan doubles per round
@@ -132,7 +161,29 @@ def connected_components(
     # Catalyst work that OOMs the driver after ~10 rounds. Cutting
     # lineage each round keeps plans O(1). (Checkpoint blocks are freed
     # by the ContextCleaner when the frames are garbage-collected.)
-    edges = edges.localCheckpoint(eager=True)
+    base = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    ).localCheckpoint(eager=True)
+    limit = _CC_DRIVER_EDGES if driver_limit is None else int(driver_limit)
+    n_pairs = base.count()  # cheap: counts the checkpoint, not the pipeline
+    if n_pairs <= limit:
+        if n_pairs == 0:
+            return spark.createDataFrame([], "node long, component_id long")
+        pdf = base.toPandas()  # bounded by `limit` (size-gated collect)
+        import numpy as np
+        import pandas as pd
+
+        nodes, comp = _cc_numpy(
+            pdf["src"].to_numpy(dtype=np.int64), pdf["dst"].to_numpy(dtype=np.int64)
+        )
+        return spark.createDataFrame(
+            pd.DataFrame({"node": nodes, "component_id": comp})
+        )
+    edges = base.unionByName(
+        base.filter(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
     # seed labels WITH the first neighbor-min step folded in: every
     # node appears as src in the symmetric edge table, so
     # groupBy(src).min(dst) + least(node, ·) computes round 1's
@@ -229,7 +280,8 @@ def connected_components(
         # originStats through every level's joins otherwise
         contracted = _stats_barrier(contracted)
         sub = connected_components(
-            contracted, "a", "b", max_iters=max_iters, _depth=_depth + 1
+            contracted, "a", "b", max_iters=max_iters, _depth=_depth + 1,
+            driver_limit=limit,
         )
         # eager checkpoint per level: without it the lazily-nested
         # compose joins accumulate across recursion levels and

@@ -294,8 +294,16 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFram
         import pandas as pd
 
         for pdf in batches:
-            fps = [int(_shingle_hashes(t, k).min()) for t in _texts(pdf[text_col])]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fingerprint": np.array(fps, dtype=np.int64)})
+            texts = _texts(pdf[text_col])
+            if not texts:
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"],
+                     "fingerprint": np.array([], dtype=np.int64)}
+                )
+                continue
+            starts, _counts, h_u = _batch_shingle_keys(texts, k)
+            fps = np.minimum.reduceat(h_u, starts).astype(np.int64)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fingerprint": fps})
 
     return ensure_parallel(docs.select("doc_id", text_col), "doc_id").mapInPandas(
         run, schema="doc_id long, fingerprint long"
@@ -313,21 +321,73 @@ def _minhash_params():
     return a, b
 
 
+def _batch_shingle_keys(texts, k: int):
+    """Distinct k-char shingle hashes for a WHOLE batch of texts in one
+    vectorized pass (r06): concatenate the padded utf-8 buffers, run
+    the rolling polynomial hash over the single array, select the
+    in-document windows with a ragged-range index, and np.unique over
+    (doc, hash) packed keys. Per-value arithmetic is identical to
+    `_shingle_hashes` (same op order, uint64 wrap, same mix), so every
+    downstream signature/fingerprint is bit-identical — the per-doc
+    numpy-call overhead (~70 us x docs) just disappears. Returns
+    (seg_starts, seg_counts, hashes) where hashes is the concatenation
+    of each doc's sorted distinct shingle hashes."""
+    bufs = []
+    for t in texts:
+        bb = t.encode("utf-8")
+        if len(bb) < k:
+            bb = bb + b"\x00" * (k - len(bb))
+        bufs.append(bb)
+    lens = np.array([len(bb) for bb in bufs], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    arr = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+    m = len(arr)
+    n_i = lens - k + 1  # valid window starts per doc (>= 1 by padding)
+    total = int(n_i.sum())
+    # ragged ranges: for each doc, offs[d] .. offs[d]+n_i[d]-1
+    doc_of = np.repeat(np.arange(len(bufs), dtype=np.int64), n_i)
+    idx = np.arange(total, dtype=np.int64) + np.repeat(
+        offs - np.concatenate([[0], np.cumsum(n_i)[:-1]]), n_i
+    )
+    h = np.zeros(m - k + 1, dtype=np.uint64)
+    for i in range(k):
+        h = h * np.uint64(257) + arr[i : i + m - k + 1]
+    h = h[idx]
+    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    h = (h ^ (h >> np.uint64(29))) & np.uint64(_P31)
+    # distinct per doc: pack (doc, hash) — hash < 2^31 — and unique
+    key = (doc_of.astype(np.uint64) << np.uint64(31)) | h
+    key = np.unique(key)
+    doc_u = (key >> np.uint64(31)).astype(np.int64)
+    h_u = key & np.uint64(_P31)
+    seg_counts = np.bincount(doc_u, minlength=len(bufs))
+    seg_starts = np.concatenate([[0], np.cumsum(seg_counts)[:-1]])
+    return seg_starts.astype(np.int64), seg_counts.astype(np.int64), h_u
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """(doc_id, sig: array<long>) — 32-perm MinHash over k-char shingles.
-    (a*h + b) mod (2^31-1): all products < 2^62, exact in uint64."""
+    (a*h + b) mod (2^31-1): all products < 2^62, exact in uint64.
+    Batch-vectorized (r06): one rolling-hash pass + one (32, N) perm
+    matrix + minimum.reduceat per doc, instead of a per-doc numpy
+    round-trip; identical values (min over the same distinct hashes)."""
     a, b = _minhash_params()
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
-            sigs = []
-            for t in _texts(pdf[text_col]):
-                sh = _shingle_hashes(t, k)  # (n,) uint64 < 2^31
-                perms = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_P31)
-                sigs.append([int(v) for v in perms.min(axis=1)])
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+            texts = _texts(pdf[text_col])
+            if not texts:
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": []})
+                continue
+            starts, counts, h_u = _batch_shingle_keys(texts, k)
+            perms = (a[:, None] * h_u[None, :] + b[:, None]) % np.uint64(_P31)
+            mins = np.minimum.reduceat(perms, starts, axis=1)  # (32, n_docs)
+            sig_mat = mins.T.astype(np.int64)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sig": list(sig_mat)}
+            )
 
     return ensure_parallel(docs.select("doc_id", text_col), "doc_id").mapInPandas(
         run, schema="doc_id long, sig array<long>"

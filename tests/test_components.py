@@ -66,7 +66,9 @@ def test_components_star_contraction_fallback(spark):
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     got = {
         r["node"]: r["component_id"]
-        for r in connected_components(df, max_iters=3).collect()
+        # driver_limit=0 forces the distributed loop (r06: small graphs
+        # otherwise take the numpy fast path and never hit the budget)
+        for r in connected_components(df, max_iters=3, driver_limit=0).collect()
     }
     want = _union_find(pairs)
     assert got == want
@@ -83,9 +85,27 @@ def test_components_fallback_matches_normal_path(spark):
     normal = {r["node"]: r["component_id"] for r in connected_components(df).collect()}
     fb = {
         r["node"]: r["component_id"]
-        for r in connected_components(df, max_iters=2).collect()
+        for r in connected_components(df, max_iters=2, driver_limit=0).collect()
     }
     assert fb == normal
+
+
+def test_driver_and_distributed_paths_identical(spark):
+    """r06: the size-gated driver-side numpy fast path and the
+    distributed label-propagation loop must produce the identical
+    labeling (same fixpoint: component_id = min node id)."""
+    rng = np.random.default_rng(23)
+    pairs = [
+        (int(a), int(b)) for a, b in rng.integers(0, 500, (900, 2))
+    ] + [(77, 77)]  # self-loop: node must still appear in the output
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    fast = {r["node"]: r["component_id"] for r in connected_components(df).collect()}
+    dist = {
+        r["node"]: r["component_id"]
+        for r in connected_components(df, driver_limit=0).collect()
+    }
+    assert fast == dist
+    assert 77 in fast
 
 
 def test_cluster_representatives(spark):
