@@ -1926,16 +1926,21 @@ def bm25_stats_from_parquet(path: str, terms: tuple) -> dict:
 
     con = duckdb.connect()
     toks = WS_TOKS_SQL
-    n_docs, n_tokens = con.execute(
-        f"SELECT count(*), sum(len({toks})) FROM read_parquet('{path}')"
+    # ONE scan for doc count, token count and every term's document
+    # frequency (r06): the per-term loop tokenized the whole corpus
+    # once per term (4 scans for the 3-term query, ~3.7 s at sf1);
+    # same integer counts from a single tokenization pass.
+    df_exprs = ", ".join(
+        "sum(CASE WHEN len(list_filter(__toks, x -> x = '{0}')) > 0 "
+        "THEN 1 ELSE 0 END)".format(t.replace("'", "''"))
+        for t in terms
+    )
+    row = con.execute(
+        f"SELECT count(*), sum(len(__toks)){', ' + df_exprs if terms else ''} "
+        f"FROM (SELECT {toks} AS __toks FROM read_parquet('{path}'))"
     ).fetchone()
-    dfs = {}
-    for t in terms:
-        esc = t.replace("'", "''")
-        dfs[t] = con.execute(
-            f"SELECT count(*) FROM read_parquet('{path}') "
-            f"WHERE len(list_filter({toks}, x -> x = '{esc}')) > 0"
-        ).fetchone()[0]
+    n_docs, n_tokens = row[0], row[1]
+    dfs = {t: int(row[2 + i]) for i, t in enumerate(terms)}
     idf_q = {
         t: int(
             math.floor(
@@ -1960,6 +1965,20 @@ def bm25_wide_needed(stats: dict, tf_headroom: int = 1 << 20) -> bool:
     max_idf = max((int(v) for v in stats["idf_q"].values()), default=1)
     n = max(int(stats["n_tokens"]), int(stats["n_docs"]))
     return max(max_idf * 22, 10) * n * tf_headroom >= 1 << 63
+
+
+def _bm25_double_ok(stats: dict, tf_headroom: int = 1 << 20) -> bool:
+    """True when the wide BM25 score is reproducible bit-for-bit in
+    float64: every numerator literal fits 2^53 (one correctly-rounded
+    multiply == exact-decimal-then-cast) and the denominator's exact
+    integer total stays under 2^53 at the same tf/dl headroom
+    bm25_wide_needed assumes (every float64 add/mul exact)."""
+    max_idf = max((int(v) for v in stats["idf_q"].values()), default=1)
+    n_tokens, n_docs = int(stats["n_tokens"]), int(stats["n_docs"])
+    return (
+        max_idf * 22 * n_tokens <= (1 << 53)
+        and (10 * n_tokens + 9 * n_docs) * tf_headroom + 3 * n_tokens <= (1 << 53)
+    )
 
 
 def bm25_topk(
@@ -1998,20 +2017,37 @@ def bm25_topk(
     dl = F.size("__toks").cast("long")
     score = F.lit(0.0)
 
+    # float64 twin of the wide path (r06): decimal(38,0) arithmetic is
+    # several times slower than double codegen, but its value is
+    # reproducible in float64 whenever (a) every numerator literal
+    # A = idf_q*22*n_tokens is <= 2^53 (then double(A)*double(tf) is
+    # the correctly-rounded exact product — the same double the
+    # exact-decimal-then-cast produces), and (b) the denominator's
+    # exact integer total stays <= 2^53 under the same tf/dl headroom
+    # bm25_wide_needed assumes, so every float64 add/multiply in it is
+    # EXACT. Bit-identical scores, no decimals on the hot path.
+    use_double = wide and _bm25_double_ok(stats)
+
     def lit_int(v: int):
         # literal products folded in PYTHON ints: a Catalyst int32
         # multiply like lit(3) * lit(n_tokens) constant-folds in int
         # arithmetic and ANSI-throws once 3 * n_tokens > 2^31. Wide
         # literals enter as Decimal (py4j long caps at 2^63).
-        return (
-            F.lit(Decimal(v)).cast("decimal(38,0)") if wide else F.lit(int(v))
-        )
+        if wide and not use_double:
+            return F.lit(Decimal(v)).cast("decimal(38,0)")
+        return F.lit(float(v)) if use_double else F.lit(int(v))
 
     for t in terms:  # fixed order: the float sum associates identically
         tf = F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(t))).cast("long")
         idf = int(stats["idf_q"][t])
-        tf_w = tf.cast("decimal(38,0)") if wide else tf
-        dl_w = dl.cast("decimal(38,0)") if wide else dl
+        if use_double:
+            tf_w = tf.cast("double")
+            dl_w = dl.cast("double")
+        elif wide:
+            tf_w = tf.cast("decimal(38,0)")
+            dl_w = dl.cast("decimal(38,0)")
+        else:
+            tf_w, dl_w = tf, dl
         num = (lit_int(int(idf) * 22 * int(n_tokens)) * tf_w).cast("double")
         den = (
             lit_int(10 * int(n_tokens)) * tf_w
@@ -2020,9 +2056,23 @@ def bm25_topk(
         ).cast("double")
         score = score + num / den
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # score > 0 ⟺ some positive-idf term occurs in the doc (num is
+    # idf_q*·*tf >= 0 per term, den always > 0), so filter on the cheap
+    # arrays_overlap predicate instead of the score: the optimizer
+    # pushes the filter below the score projection, and the previous
+    # score-referencing filter DUPLICATED the whole tokenize+score tree
+    # into the pushed-down copy (guide §4.4's duplication, plain-
+    # expression flavor). Identical result set; the full score now
+    # evaluates once, and only for surviving rows.
+    pos_terms = [t for t in terms if int(stats["idf_q"][t]) > 0]
+    present = (
+        F.arrays_overlap("__toks", F.array(*[F.lit(t) for t in pos_terms]))
+        if pos_terms
+        else F.lit(False)
+    )
     top = (
-        d.select("doc_id", score.alias("score"))
-        .filter(F.col("score") > 0)
+        d.filter(present)
+        .select("doc_id", score.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

@@ -745,6 +745,38 @@ def test_bm25_wide_decimal_matches_duckdb_hugeint(spark):
     assert (nar["score"].to_numpy() == wid["score"].to_numpy()).all()
 
 
+def test_bm25_wide_double_path_matches_decimal(spark, monkeypatch):
+    """r06: when the wide representation is needed but every product
+    provably fits float64's exact-integer range, bm25_topk runs the
+    score in double codegen; it must stay BIT-exact vs the decimal
+    path on the same stats."""
+    from insideout_spark.plans import webtext
+
+    rows = [
+        (1, "hello world hello again"),
+        (2, "hello there"),
+        (3, "world of text with many words here"),
+        (4, "nothing relevant"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ("hello", "world")
+    stats = {
+        "n_docs": 100,
+        "n_tokens": 100_000_000,
+        "df": {"hello": 7, "world": 11},
+        "idf_q": {"hello": 4_000_000, "world": 3_800_000},
+    }
+    assert webtext.bm25_wide_needed(stats)
+    assert webtext._bm25_double_ok(stats)
+    dbl = webtext.bm25_topk(docs, terms, stats, k=10).toPandas()
+    monkeypatch.setattr(webtext, "_bm25_double_ok", lambda *_a, **_k: False)
+    dec = webtext.bm25_topk(docs, terms, stats, k=10).toPandas()
+    dbl = dbl.sort_values("rank").reset_index(drop=True)
+    dec = dec.sort_values("rank").reset_index(drop=True)
+    assert list(dbl["doc_id"]) == list(dec["doc_id"])
+    assert (dbl["score"].to_numpy() == dec["score"].to_numpy()).all()
+
+
 def test_png_roundtrip_filters_crc_and_multi_idat():
     """decode_png is a real parser: round-trips the generator across
     doc_ids whose per-row filters cover all five types and both RGB
