@@ -2228,14 +2228,17 @@ def lm_train_from_parquet(path: str, vocab_size: int = 200) -> dict:
 
     con = duckdb.connect()
     toks = WS_TOKS_SQL
+    # one tokenization scan (r06): the corpus-wide token total equals
+    # sum(c) over the per-token counts, so the old second full-corpus
+    # scan for sum(len(toks)) is folded into the same CTE
     rows = con.execute(
-        f"WITH t AS (SELECT unnest({toks}) AS tok FROM read_parquet('{path}')) "
-        "SELECT tok, count(*) AS c FROM t GROUP BY tok "
+        f"WITH t AS (SELECT unnest({toks}) AS tok FROM read_parquet('{path}')), "
+        "c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok) "
+        "SELECT tok, c, (SELECT sum(c) FROM c) AS total FROM c "
         f"ORDER BY c DESC, tok LIMIT {int(vocab_size)}"
     ).fetchall()
-    n_total = con.execute(
-        f"SELECT sum(len({toks})) FROM read_parquet('{path}')"
-    ).fetchone()[0]
+    n_total = int(rows[0][2]) if rows else 0
+    rows = [(tok, c) for tok, c, _tot in rows]
     denom = int(n_total) + int(vocab_size) + 1
 
     def q(c):
