@@ -670,33 +670,30 @@ def minhash_lsh_pairs(
             pass
     if n_sigs is not None and n_sigs <= _SIG_BROADCAST_ROWS:
         bands = _sig_bands(sigs, with_ord=True)
-        pairs = _bucket_pairs_arrow(
-            bands, ["band", "bh"], "doc_id", "doc_a", "doc_b", bucket_cap,
-            ord_col="__ord",
-        )
         spdf = sigs.select("doc_id", "sig").toPandas()
         ids = spdf["doc_id"].to_numpy(dtype=np.int64)
         smat = np.array(spdf["sig"].tolist(), dtype=np.int64)
         o = np.argsort(ids)
         ids, smat = ids[o], smat[o]
         bc = sigs.sparkSession.sparkContext.broadcast((ids, smat))
+        thr = float(threshold)
 
-        def est_run(batches):
-            import pandas as pd
-
+        # est filter INSIDE the generation stage, before the cross-band
+        # dedup (commutes: identical pair ⇒ identical est ⇒ identical
+        # keep; est = matches/32 is the exact same double the Catalyst
+        # filter compared) — the dedup shuffle carries survivors only.
+        def rescore(a, b):
             sids, s = bc.value
-            for p in batches:
-                a = p["doc_a"].to_numpy()
-                b = p["doc_b"].to_numpy()
-                ia = np.searchsorted(sids, a)
-                ib = np.searchsorted(sids, b)
-                est = (s[ia] == s[ib]).sum(axis=1) / float(_MINHASH_PERMS)
-                yield pd.DataFrame({"doc_a": a, "doc_b": b, "est_jaccard": est})
+            ia = np.searchsorted(sids, a)
+            ib = np.searchsorted(sids, b)
+            est = (s[ia] == s[ib]).sum(axis=1) / float(_MINHASH_PERMS)
+            keep = est >= thr
+            return a[keep], b[keep], {"est_jaccard": est[keep]}
 
-        scored = pairs.mapInPandas(
-            est_run, schema="doc_a long, doc_b long, est_jaccard double"
+        return _bucket_pairs_arrow(
+            bands, ["band", "bh"], "doc_id", "doc_a", "doc_b", bucket_cap,
+            ord_col="__ord", rescore=rescore, extra_schema="est_jaccard double",
         )
-        return scored.filter(F.col("est_jaccard") >= threshold)
     bands = _sig_bands(sigs)
     # pair shuffle carries ONLY (doc_a, doc_b): dedup the banded pairs
     # first, then re-attach one signature per side (VERDICT r01 minor
@@ -1697,6 +1694,8 @@ def _bucket_pairs_arrow(
     b_name: str,
     bucket_cap: int | None,
     ord_col: str | None = None,
+    rescore=None,
+    extra_schema: str = "",
 ) -> DataFrame:
     """Id-ordered candidate pairs per LSH bucket, generated NATIVELY:
     one tiny groupBy collects each bucket's member ids, then numpy
@@ -1714,7 +1713,16 @@ def _bucket_pairs_arrow(
     chain exactly: capped-bucket members are sorted by (ord, id) —
     Python tuple sort == the window's (`__ord`, id) ORDER BY for the
     ASCII band-string / integer order keys used here — and consecutive
-    members pair up least/greatest-oriented."""
+    members pair up least/greatest-oriented.
+
+    `rescore` (optional, r06): `(a, b) -> (a', b', extra_cols_dict)` —
+    a vectorized similarity rescore applied INSIDE the generation
+    stage, BEFORE the cross-band dropDuplicates. A pair-intrinsic
+    score/filter commutes with dedup (identical pair ⇒ identical
+    score ⇒ identical keep decision), so the dedup shuffle then
+    carries only surviving pairs — at sf1 this turns the embedding
+    dedup's 7.2M-row shuffle into a ~10k-row one. `extra_schema` names
+    the extra output columns."""
     import numpy as np
 
     if ord_col is not None:
@@ -1764,17 +1772,21 @@ def _bucket_pairs_arrow(
                     iu, ju = np.triu_indices(n, 1)
                     outs_a.append(s[iu])
                     outs_b.append(s[ju])
-            if outs_a:
-                yield pd.DataFrame(
-                    {
-                        a_name: np.concatenate(outs_a),
-                        b_name: np.concatenate(outs_b),
-                    }
-                )
+            if not outs_a:
+                continue
+            a = np.concatenate(outs_a)
+            bb = np.concatenate(outs_b)
+            if rescore is not None:
+                a, bb, extra = rescore(a, bb)
+                if len(a):
+                    yield pd.DataFrame({a_name: a, b_name: bb, **extra})
+            else:
+                yield pd.DataFrame({a_name: a, b_name: bb})
 
-    pairs = grouped.select("__ids").mapInPandas(
-        run, schema=f"{a_name} long, {b_name} long"
-    )
+    schema = f"{a_name} long, {b_name} long"
+    if extra_schema:
+        schema += ", " + extra_schema
+    pairs = grouped.select("__ids").mapInPandas(run, schema=schema)
     return pairs.dropDuplicates([a_name, b_name])
 
 
@@ -1817,9 +1829,6 @@ def embedding_near_dup_pairs(
     spark = embeddings.sparkSession
     n_vecs = embeddings.count()
     if n_vecs * dim * 8 <= _EMB_RESCORE_BROADCAST_BYTES:
-        pairs = _bucket_pairs_arrow(
-            b, ["table", "bucket"], "vid", "vec_a", "vec_b", bucket_cap
-        )
         pdf = embeddings.select(id_col, vec_col).toPandas()
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         mat = _quantize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
@@ -1827,26 +1836,31 @@ def embedding_near_dup_pairs(
         ids, mat = ids[order], mat[order]
         norms = np.sqrt((mat * mat).sum(axis=1))
         bc = spark.sparkContext.broadcast((ids, mat, norms))
+        # conservative pre-filter margin: round(cos, d) can raise the
+        # value by at most half an ulp of the rounding step (5e-6 at
+        # d=5) — 1e-4 is 20x that, so no pair the exact Catalyst
+        # round+filter would keep is dropped here
+        margin = float(threshold) - 1e-4
 
-        def score(batches):
-            import pandas as pd
-
+        def rescore(a, bb):
             sids, q, nrm = bc.value
-            for p in batches:
-                a = p["vec_a"].to_numpy()
-                bb = p["vec_b"].to_numpy()
-                ia = np.searchsorted(sids, a)
-                ib = np.searchsorted(sids, bb)
-                va, vb = q[ia], q[ib]
-                # exact: integer-valued products/sums < 2^53, so the
-                # einsum total equals the Catalyst fold bit-for-bit
-                dot = np.einsum("ij,ij->i", va, vb)
-                cos = dot / (nrm[ia] * nrm[ib])
-                yield pd.DataFrame({"vec_a": a, "vec_b": bb, "cos_raw": cos})
+            ia = np.searchsorted(sids, a)
+            ib = np.searchsorted(sids, bb)
+            va, vb = q[ia], q[ib]
+            # exact: integer-valued products/sums < 2^53, so the
+            # einsum total equals the Catalyst fold bit-for-bit
+            dot = np.einsum("ij,ij->i", va, vb)
+            cos = dot / (nrm[ia] * nrm[ib])
+            keep = cos >= margin
+            return a[keep], bb[keep], {"cos_raw": cos[keep]}
 
-        scored = pairs.mapInPandas(
-            score, schema="vec_a long, vec_b long, cos_raw double"
-        ).withColumn("cos_sim", F.round(F.col("cos_raw"), round_digits))
+        pairs = _bucket_pairs_arrow(
+            b, ["table", "bucket"], "vid", "vec_a", "vec_b", bucket_cap,
+            rescore=rescore, extra_schema="cos_raw double",
+        )
+        scored = pairs.withColumn(
+            "cos_sim", F.round(F.col("cos_raw"), round_digits)
+        )
         return scored.filter(F.col("cos_sim") >= threshold).select(
             "vec_a", "vec_b", "cos_sim"
         )
