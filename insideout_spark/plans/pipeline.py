@@ -76,6 +76,58 @@ def geocode_pipeline(
     return assign_tiles(hits, s2_level=s2_level, grid_res=grid_res)
 
 
+def _kept_docs_arrow(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) of documents passing the curation keep decision —
+    an exact Python twin of `_quality_parts` r1-r4 plus the repetition
+    cap, evaluated per Arrow batch:
+
+      r1: 5 <= n <= 100000                 (n = len(split(trim ' ', ' +')))
+      r2: 2000*n <= 1000*sum(len) <= 12000*n
+      r3: max token length <= 60
+      r4: 1000*#single-char <= 200*n
+      rep: 2*max-multiplicity(ws_tokens) <= len(ws_tokens)
+
+    All-integer arithmetic and both tokenizations (space-split over
+    space-trimmed text; whitespace-class split dropping empties) mirror
+    the Catalyst/oracle expressions symbol for symbol; Spark's
+    length() counts code points exactly like Python len()."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+
+    from .util import ensure_parallel
+    from .webtext import _texts
+
+    sp = re.compile(" +")
+    ws = re.compile("[ \t\r\n]+")
+
+    def run(batches):
+        for pdf in batches:
+            keep = []
+            for t in _texts(pdf["text"]):
+                tq = sp.split(t.strip(" "))
+                n = len(tq)
+                ok = 5 <= n <= 100000
+                if ok:
+                    total = sum(map(len, tq))
+                    ok = 2000 * n <= 1000 * total <= 12000 * n
+                if ok:
+                    ok = max(map(len, tq)) <= 60
+                if ok:
+                    ok = 1000 * sum(1 for x in tq if len(x) == 1) <= 200 * n
+                if ok:
+                    tw = [x for x in ws.split(t) if x]
+                    m = max(Counter(tw).values(), default=0)
+                    ok = 2 * m <= len(tw)
+                keep.append(ok)
+            yield pdf.loc[np.array(keep, dtype=bool), ["doc_id", "text"]]
+
+    return ensure_parallel(docs.select("doc_id", "text"), "doc_id").mapInPandas(
+        run, schema="doc_id long, text string"
+    )
+
+
 def curate_text_pipeline(
     docs: DataFrame, budget_tokens: int = 512, n_buckets: int = 8
 ) -> DataFrame:
@@ -91,22 +143,16 @@ def curate_text_pipeline(
     id-equi-joins co-partition. The DuckDB oracle chains the SAME
     mirrored subqueries over a `kept` CTE — composition is gated
     end-to-end, not just each stage alone."""
-    from .webtext import (
-        _max_run_count,
-        _quality_parts,
-        pack_assign,
-        split_cols,
-        ws_tokens,
-    )
+    from .webtext import pack_assign, split_cols
 
-    # both filter stages are per-row expressions, so the kept set is
-    # ONE projection over ONE scan — no self-joins, no re-tokenization
-    # (the first draft joined quality_rules and repetition_stats back
-    # to docs: 3 scans + 2 joins for the same rows)
-    _, r1, r2, r3, r4 = _quality_parts("text")
-    wtoks = ws_tokens(F.col("text"))
-    rep_ok = _max_run_count(wtoks) * 2 <= F.size(wtoks).cast("long")
-    kept = docs.filter(r1 & r2 & r3 & r4 & rep_ok).select("doc_id", "text")
+    # keep decision in ONE Arrow-batched Python pass (r06): the fused
+    # Catalyst filter (quality parts + the sort_array/aggregate
+    # repetition fold) measured ~4 s of the 4.3 s query at sf1 — per-row
+    # lambda-expression evaluation, not shuffle. _kept_docs_arrow is an
+    # exact integer twin (same tokenizations, same x1000 threshold
+    # arithmetic, same max-multiplicity) pinned by
+    # test_curation_kept_set_matches_catalyst.
+    kept = _kept_docs_arrow(docs)
     pk = pack_assign(kept, budget_tokens, n_buckets)
     # split is a pure function of doc_id (split_cols), so it projects
     # straight onto the packing output — no join, and the kept subplan

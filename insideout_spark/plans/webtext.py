@@ -2881,6 +2881,36 @@ def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _bigram_frame(docs: DataFrame, text_col: str) -> DataFrame:
+    """Exploded adjacent-token pairs (w1, w2) for the whole corpus in
+    ONE Arrow-batched Python pass, materialized via localCheckpoint
+    (r06, the _gram_frame pattern): the pure-Catalyst
+    slice+zip_with+concat explode measured 3.7-5.2 s ALONE at sf1 and
+    was re-evaluated per consumer (bigram counts, first-position
+    counts, second-position counts, totals — pmi_topk paid it 3x).
+    Tokenization mirrors ws_tokens / WS_TOKS_SQL exactly: split on
+    [ \\t\\r\\n]+, drop empties."""
+    import re
+
+    pat = re.compile("[ \t\r\n]+")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            w1s, w2s = [], []
+            for t in _texts(pdf[text_col]):
+                toks = [x for x in pat.split(t) if x]
+                w1s.extend(toks[:-1])
+                w2s.extend(toks[1:])
+            yield pd.DataFrame({"w1": w1s, "w2": w2s})
+
+    out = ensure_parallel(docs.select(text_col)).mapInPandas(
+        run, schema="w1 string, w2 string"
+    )
+    return out.localCheckpoint(eager=True)
+
+
 def bigram_topk(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
     """Bigram language-model counts: top-k adjacent token pairs with
     their context (first-token) counts and the conditional probability
@@ -2892,35 +2922,25 @@ def bigram_topk(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFr
     bigrams/tokens, not occurrences); the top-k is ORDER BY + LIMIT =
     TakeOrderedAndProject; the context join is on the post-limit k
     rows (broadcast). Oracle: webtext_sql.bigram_topk_sql."""
-    toks = ws_tokens(F.col(text_col))
-    n = F.size(toks)
-    pairs = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # one materialized (w1, w2) explode feeds BOTH aggregations (r06);
+    # the bigram string is rebuilt post-agg — injective since tokens
+    # cannot contain spaces — so grouping by (w1, w2) counts and orders
+    # identically to grouping by the string.
+    ex = _bigram_frame(docs, text_col)
     bg = (
-        docs.select(F.explode(pairs).alias("bigram"))
-        .groupBy("bigram")
+        ex.groupBy("w1", "w2")
         .agg(F.count("*").alias("n_bigram"))
+        .select(
+            F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("bigram"),
+            "n_bigram",
+        )
         .orderBy(F.desc("n_bigram"), F.asc("bigram"))
         .limit(k)
     )
     # context counts: occurrences of w1 as the FIRST element of any
     # bigram (i.e. token occurrences excluding each doc's last token)
-    ctx = (
-        docs.select(
-            F.explode(
-                F.when(n >= 2, F.slice(toks, 1, n - 1))
-                .otherwise(F.array().cast("array<string>"))
-            ).alias("w1")
-        )
-        .groupBy("w1")
-        .agg(F.count("*").alias("n_context"))
-    )
+    # == the w1 column of the exploded pairs
+    ctx = ex.groupBy("w1").agg(F.count("*").alias("n_context"))
     out = bg.withColumn(
         "w1", F.split(F.col("bigram"), " ", 2).getItem(0)
     ).join(ctx, "w1")
@@ -2999,42 +3019,20 @@ def pmi_topk(
     frame BEFORE the two vocab joins; the total-events N rides along
     as a 1-row broadcast; the top-k is TakeOrderedAndProject.
     Oracle: webtext_sql.pmi_topk_sql."""
-    toks = ws_tokens(F.col(text_col))
-    n = F.size(toks)
-    firsts = F.when(n >= 2, F.slice(toks, 1, n - 1)).otherwise(
-        F.array().cast("array<string>")
-    )
-    seconds = F.when(n >= 2, F.slice(toks, 2, n - 1)).otherwise(
-        F.array().cast("array<string>")
-    )
-    pairs = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    # one materialized (w1, w2) explode feeds all three count
+    # aggregations AND the totals (r06): firsts == the w1 column,
+    # seconds == the w2 column, and n_events == sum over docs of
+    # max(n_tokens - 1, 0) == the exploded row count — the old plan
+    # re-evaluated the slice/zip_with explode once per consumer.
+    ex = _bigram_frame(docs, text_col)
     bg = (
-        docs.select(F.explode(pairs).alias("p"))
-        .select("p.w1", "p.w2")
-        .groupBy("w1", "w2")
+        ex.groupBy("w1", "w2")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= min_count)
     )
-    c1 = (
-        docs.select(F.explode(firsts).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("n_w1"))
-    )
-    c2 = (
-        docs.select(F.explode(seconds).alias("w2"))
-        .groupBy("w2")
-        .agg(F.count("*").alias("n_w2"))
-    )
-    tot = docs.agg(
-        F.sum(F.greatest(n - 1, F.lit(0)).cast("long")).alias("n_events")
-    )
+    c1 = ex.groupBy("w1").agg(F.count("*").alias("n_w1"))
+    c2 = ex.groupBy("w2").agg(F.count("*").alias("n_w2"))
+    tot = ex.agg(F.count("*").cast("long").alias("n_events"))
     dec = "decimal(38,0)"
     return (
         bg.join(c1, "w1")
@@ -3081,23 +3079,34 @@ def paragraph_dedup(
     webtext_sql.paragraph_dedup_sql (lockstep segmentation + window).
     """
     st = int(seg_tokens)
-    toks = ws_tokens(F.col(text_col))
-    nseg = F.floor((F.size(toks) + F.lit(st - 1)) / F.lit(st)).cast("int")
-    segs = F.when(
-        nseg >= 1,
-        F.transform(
-            F.sequence(F.lit(0), nseg - 1),
-            lambda g: F.struct(
-                g.cast("int").alias("seg_no"),
-                F.array_join(
-                    F.slice(toks, g * st + 1, st), " "
-                ).alias("seg"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<seg_no:int,seg:string>>"))
-    ex = docs.select(F.col("doc_id"), F.explode(segs).alias("s")).select(
-        "doc_id", "s.seg_no", "s.seg"
-    )
+    # segment explode in ONE Arrow-batched Python pass (r06, the
+    # _bigram_frame pattern): the Catalyst transform+slice+array_join
+    # explode measured 4.7 s ALONE at sf1 for 295k segments — the whole
+    # query minus ~0.4 s. Tokenization and the ceil(n/st) windowing
+    # mirror ws_tokens / the oracle exactly (docs with zero tokens emit
+    # no segments, exactly like exploding an empty array).
+    import re
+
+    pat = re.compile("[ \t\r\n]+")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            d_ids, seg_nos, seg_texts = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], _texts(pdf[text_col])):
+                toks = [x for x in pat.split(t) if x]
+                for g in range(0, (len(toks) + st - 1) // st):
+                    d_ids.append(doc_id)
+                    seg_nos.append(g)
+                    seg_texts.append(" ".join(toks[g * st : g * st + st]))
+            yield pd.DataFrame(
+                {"doc_id": d_ids, "seg_no": seg_nos, "seg": seg_texts}
+            ).astype({"doc_id": "int64", "seg_no": "int32"})
+
+    ex = ensure_parallel(docs.select("doc_id", text_col), "doc_id").mapInPandas(
+        run, schema="doc_id long, seg_no int, seg string"
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("seg").orderBy("doc_id", "seg_no")
     ranked = ex.withColumn("rn", F.row_number().over(w))
     kept = F.filter(

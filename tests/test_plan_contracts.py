@@ -88,8 +88,12 @@ def test_curation_pipeline_one_scan_no_joins(spark):
     from insideout_spark.plans.pipeline import curate_text_pipeline
 
     p = _plan(curate_text_pipeline(_docs(spark)))
-    assert p.count("Exchange") == 1  # only the packing bucket shuffle
+    # r06: the keep decision runs in one Arrow pass (MapInPandas); the
+    # only shuffles are the packing bucket shuffle and (on an under-
+    # partitioned scan) ensure_parallel's spread before the Arrow pass
+    assert p.count("Exchange") <= 2
     assert "Join" not in p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
 
 
 def test_quality_classifier_zero_shuffle(spark):

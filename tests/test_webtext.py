@@ -1317,6 +1317,37 @@ def test_curation_pipeline_filters_bite(spark):
     assert all(0 <= r["pack_offset"] < 32 for r in out.values())
 
 
+def test_curation_kept_set_matches_catalyst(spark):
+    """r06: the Python keep-decision twin (_kept_docs_arrow) must agree
+    with the original fused Catalyst filter on every doc of the gate-SF
+    corpus (same tokenizations, same integer threshold arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from insideout_spark.plans.pipeline import _kept_docs_arrow
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # edge docs the synthetic corpus may not contain
+    extra = spark.createDataFrame(
+        [
+            (10_000_001, ""),
+            (10_000_002, "   "),
+            (10_000_003, "one"),
+            (10_000_004, "tab\tsep\ttokens\tmake\tfive\ttokens"),
+            (10_000_005, "spam " * 40),
+            (10_000_006, "a b c d e f g h i j"),  # all single-char: r4 fails
+            (10_000_007, ("v" * 61 + " ") * 6),   # max token length: r3 fails
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    _, r1, r2, r3, r4 = webtext._quality_parts("text")
+    wtoks = webtext.ws_tokens(F.col("text"))
+    rep_ok = webtext._max_run_count(wtoks) * 2 <= F.size(wtoks).cast("long")
+    want = {r["doc_id"] for r in docs.filter(r1 & r2 & r3 & r4 & rep_ok).select("doc_id").collect()}
+    got = {r["doc_id"] for r in _kept_docs_arrow(docs).select("doc_id").collect()}
+    assert got == want
+
+
 def test_best_doc_per_source(spark, tmp_path):
     """Group top-1: per source, the doc with the highest mean logprob
     wins; gibberish never beats in-vocab text."""
