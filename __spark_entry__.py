@@ -806,9 +806,7 @@ def _q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     singletons (docs in no pair). Two combinable aggs over the CC
     output + a broadcast-size anti-side count; oracle nests the same
     WITH RECURSIVE fixpoint."""
-    from insideout_spark.plans.components import connected_components
-
-    from insideout_spark.plans.components import cluster_sizes
+    from insideout_spark.plans.components import cluster_sizes, connected_components
 
     pairs = webtext.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.35)
     cc = connected_components(pairs)

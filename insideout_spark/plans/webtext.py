@@ -16,7 +16,21 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import matreg
 from .util import ensure_parallel
+
+
+def _materialize(key: str, df: DataFrame) -> DataFrame:
+    """Persist + eagerly compute a per-call shared frame, superseding
+    the previous call's copy (matreg, guide §5): persistence keeps the
+    lineage, so a later release is always correct — consumers of a
+    released frame recompute instead of reading freed blocks."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    matreg.supersede(key, df)
+    df.count()
+    return df
 
 # ---------------------------------------------------------------------------
 # exact dedup (hash groupBy)
@@ -651,14 +665,21 @@ def minhash_lsh_pairs(
         )
     # NATIVE fast path (r06): when the signature table is provably
     # small enough to hold driver-side (same bound as the broadcast
-    # gate), generate the banded candidate pairs per bucket in numpy
-    # (_bucket_pairs_arrow — no bucket self-join, no stats re-join, no
-    # chain window) and rescore with a broadcast signature matrix (one
-    # vectorized row-compare instead of two per-pair attach joins +
-    # per-pair fold arithmetic). matches/32 is the same int/int double
-    # division, the chain order key is the same 32-value signature
-    # string, and the threshold filter stays in Catalyst — identical
-    # pairs, identical est_jaccard (oracle-verified).
+    # gate; the knn_brute bounded-collect pattern), the ENTIRE banded
+    # pair generation runs vectorized on the driver from the signature
+    # matrix — banding, bucket grouping, clique/chain emission,
+    # cross-band dedup and the est rescore (_banded_pairs_numpy).
+    # The previous shape (per-bucket numpy inside mapInPandas + a
+    # broadcast-matrix rescore + a dropDuplicates shuffle) paid a
+    # collect_list shuffle of every band row, a serialized Arrow
+    # transport of every surviving pair instance out of 32 Python
+    # workers, and a pair shuffle — measured 9.8 s warm at sf1 vs
+    # ~3 s driver-side, with far tighter variance. matches/32 is the
+    # same int/int double division, the chain order key is the same
+    # 32-value signature string compared byte-wise, and the clique/
+    # chain pair sets are replicated exactly — identical pairs,
+    # identical est_jaccard (oracle-verified). Above the gate the
+    # distributed join path below is unchanged.
     n_sigs = getattr(sigs, "_io_nrows", None)
     if n_sigs is None and signatures is not None:
         # persisted signature tables (the save_signatures contract):
@@ -669,31 +690,30 @@ def minhash_lsh_pairs(
         except AttributeError:  # pragma: no cover - exotic DataFrame proxy
             pass
     if n_sigs is not None and n_sigs <= _SIG_BROADCAST_ROWS:
-        bands = _sig_bands(sigs, with_ord=True)
         spdf = sigs.select("doc_id", "sig").toPandas()
         ids = spdf["doc_id"].to_numpy(dtype=np.int64)
+        spark = sigs.sparkSession
+        schema = "doc_a long, doc_b long, est_jaccard double"
+        if len(ids) == 0:
+            return spark.createDataFrame([], schema)
         smat = np.array(spdf["sig"].tolist(), dtype=np.int64)
         o = np.argsort(ids)
         ids, smat = ids[o], smat[o]
-        bc = sigs.sparkSession.sparkContext.broadcast((ids, smat))
-        thr = float(threshold)
+        a, b, est = _banded_pairs_numpy(ids, smat, bucket_cap, float(threshold))
+        import pandas as pd
 
-        # est filter INSIDE the generation stage, before the cross-band
-        # dedup (commutes: identical pair ⇒ identical est ⇒ identical
-        # keep; est = matches/32 is the exact same double the Catalyst
-        # filter compared) — the dedup shuffle carries survivors only.
-        def rescore(a, b):
-            sids, s = bc.value
-            ia = np.searchsorted(sids, a)
-            ib = np.searchsorted(sids, b)
-            est = (s[ia] == s[ib]).sum(axis=1) / float(_MINHASH_PERMS)
-            keep = est >= thr
-            return a[keep], b[keep], {"est_jaccard": est[keep]}
-
-        return _bucket_pairs_arrow(
-            bands, ["band", "bh"], "doc_id", "doc_a", "doc_b", bucket_cap,
-            ord_col="__ord", rescore=rescore, extra_schema="est_jaccard double",
+        if len(a) == 0:
+            return spark.createDataFrame([], schema)
+        out = spark.createDataFrame(
+            pd.DataFrame({"doc_a": a, "doc_b": b, "est_jaccard": est}),
+            schema=schema,
         )
+        # pass-through hint for connected_components: the pair arrays
+        # are already on the driver, so a CC consumer can skip the
+        # persist + collect round-trip (identical content by
+        # construction — the DataFrame was built FROM these arrays)
+        out._io_pairs_np = (a, b)
+        return out
     bands = _sig_bands(sigs)
     # pair shuffle carries ONLY (doc_a, doc_b): dedup the banded pairs
     # first, then re-attach one signature per side (VERDICT r01 minor
@@ -1141,9 +1161,9 @@ def simhash_near_dup_pairs(
 def _gram_frame(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     """(doc_id, block, ng, grams): distinct token n-grams per doc plus
     the opening-bigram block key and the gram count, computed in ONE
-    Arrow-batched Python pass and materialized via localCheckpoint so
-    blocking, the size-ratio prefilter and both pair-side gram attaches
-    all reuse it (r06, guide §4.2). The previous pure-Catalyst formula
+    Arrow-batched Python pass and materialized (persist + supersede,
+    see _materialize) so blocking, the size-ratio prefilter and both
+    pair-side gram attaches all reuse it (r06, guide §4.2). The previous pure-Catalyst formula
     (transform over sequence + slice + concat_ws + array_distinct)
     measured 27 s for ONE pass over 50k sf1 docs on local[32] — ~17 ms
     of core time per doc in allocation churn — and the query plan
@@ -1186,7 +1206,7 @@ def _gram_frame(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     out = ensure_parallel(docs.select("doc_id", text_col), "doc_id").mapInPandas(
         run, schema="doc_id long, block string, ng int, grams array<string>"
     )
-    return out.localCheckpoint(eager=True)
+    return _materialize("gram_frame", out)
 
 
 def ngram_jaccard_pairs(
@@ -1353,7 +1373,9 @@ def cosine_topk_brute(
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = _quantize(np.array([r[vec_col] for r in rows], dtype=np.float64))
     norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    bc = matreg.supersede(
+        "cosine_brute_bc", spark.sparkContext.broadcast((ids, mat, norms))
+    )
     qset = [int(q) for q in query_ids]
     kk, rd = int(k), int(round_digits)
 
@@ -1686,6 +1708,108 @@ def lsh_bucket_ann(
     )
 
 
+def _banded_pairs_numpy(
+    ids: np.ndarray,
+    smat: np.ndarray,
+    bucket_cap: int | None,
+    threshold: float,
+) -> tuple:
+    """Driver-side twin of `_sig_bands` + `_bucket_pairs_arrow` +
+    est-rescore for a signature matrix that fits in memory (the
+    broadcast-gate bound): returns (doc_a, doc_b, est_jaccard) arrays —
+    the EXACT post-dedup pair set of the distributed path.
+
+    Replication contract, piece by piece:
+    - bucket key: `_sig_bands` stringifies each band's value tuple,
+      which is injective, so grouping on the raw int64 tuples partitions
+      the docs identically (lexsort + row-diff boundaries);
+    - clique (n <= cap): member ids sorted ascending, all a < b pairs —
+      `np.triu_indices`, as in `_bucket_pairs_arrow`;
+    - chain (n > cap): members sorted by (full 32-value "_"-joined
+      signature STRING, id) — Python str compare == Spark UTF8 binary
+      compare for these ASCII digit/underscore strings — consecutive
+      pairs, min/max oriented;
+    - cross-band dedup: np.unique over packed (a, b) keys == the
+      distributed dropDuplicates;
+    - est_jaccard: matching-perm count / 32 in float64 — the identical
+      correctly-rounded double of the small-int ratio that the Catalyst
+      filter compares; filter est >= threshold commutes with dedup
+      (pair-intrinsic score).
+
+    ids MUST be sorted ascending with smat row-aligned."""
+    n, perms = smat.shape
+    rpb = perms // _LSH_BANDS
+    cap = -1 if bucket_cap is None else int(bucket_cap)
+    ord_strs = None
+    outs_a: list = []
+    outs_b: list = []
+    for band in range(_LSH_BANDS):
+        bv = smat[:, band * rpb : (band + 1) * rpb]
+        order = np.lexsort(bv.T[::-1])
+        sb = bv[order]
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        np.any(sb[1:] != sb[:-1], axis=1, out=boundary[1:])
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            if 0 <= cap < m:
+                if ord_strs is None:
+                    ord_strs = ["_".join(map(str, row)) for row in smat.tolist()]
+                idxs = sorted(order[s:e], key=lambda t: (ord_strs[t], ids[t]))
+                chain = ids[np.asarray(idxs, dtype=np.int64)]
+                outs_a.append(np.minimum(chain[:-1], chain[1:]))
+                outs_b.append(np.maximum(chain[:-1], chain[1:]))
+            else:
+                ms = np.sort(ids[order[s:e]])
+                iu, ju = np.triu_indices(m, 1)
+                outs_a.append(ms[iu])
+                outs_b.append(ms[ju])
+    if not outs_a:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty, np.empty(0, dtype=np.float64)
+    a = np.concatenate(outs_a)
+    b = np.concatenate(outs_b)
+    # cross-band dedup: pack when both sides fit in 32 bits (always for
+    # this engine's doc ids), lexicographic unique otherwise
+    if max(int(a.max()), int(b.max())) < (1 << 32) and int(a.min()) >= 0:
+        key = np.unique((a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64))
+        a = (key >> np.uint64(32)).astype(np.int64)
+        b = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    else:  # pragma: no cover - >32-bit ids
+        st = np.unique(np.stack([a, b], axis=1), axis=0)
+        a, b = np.ascontiguousarray(st[:, 0]), np.ascontiguousarray(st[:, 1])
+    ia = np.searchsorted(ids, a).astype(np.intp)
+    ib = np.searchsorted(ids, b).astype(np.intp)
+    # match-count rescore, tuned for this box's memory-bandwidth wall
+    # (measured 17.5 s -> 2.2 s for 11.7M pairs at sf1): int32 matrix
+    # (minhash values < 2^31 by construction — exact), 256k-pair chunks
+    # so the two gathered operand blocks stay ~32 MB each, and
+    # preallocated out= buffers instead of fresh temporaries per chunk.
+    # est arithmetic unchanged: integer match count, then one division
+    # by the power-of-two perm count — exact in float64, the identical
+    # double of the per-pair matches/32 ratio.
+    cm = smat.astype(np.int32) if int(smat.max()) < (1 << 31) else smat
+    est = np.empty(len(a), dtype=np.float64)
+    step = 1 << 18
+    bufa = np.empty((step, perms), dtype=cm.dtype)
+    bufb = np.empty((step, perms), dtype=cm.dtype)
+    eq = np.empty((step, perms), dtype=bool)
+    for s in range(0, len(a), step):
+        e = min(s + step, len(a))
+        m = e - s
+        np.take(cm, ia[s:e], axis=0, out=bufa[:m])
+        np.take(cm, ib[s:e], axis=0, out=bufb[:m])
+        np.equal(bufa[:m], bufb[:m], out=eq[:m])
+        est[s:e] = eq[:m].sum(axis=1)
+    est /= float(perms)
+    keep = est >= threshold
+    return a[keep], b[keep], est[keep]
+
+
 def _bucket_pairs_arrow(
     bands: DataFrame,
     key_cols: list,
@@ -1835,7 +1959,9 @@ def embedding_near_dup_pairs(
         order = np.argsort(ids)
         ids, mat = ids[order], mat[order]
         norms = np.sqrt((mat * mat).sum(axis=1))
-        bc = spark.sparkContext.broadcast((ids, mat, norms))
+        bc = matreg.supersede(
+            "emb_rescore_bc", spark.sparkContext.broadcast((ids, mat, norms))
+        )
         # conservative pre-filter margin: round(cos, d) can raise the
         # value by at most half an ulp of the rounding step (5e-6 at
         # d=5) — 1e-4 is 20x that, so no pair the exact Catalyst
@@ -2883,7 +3009,7 @@ def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _bigram_frame(docs: DataFrame, text_col: str) -> DataFrame:
     """Exploded adjacent-token pairs (w1, w2) for the whole corpus in
-    ONE Arrow-batched Python pass, materialized via localCheckpoint
+    ONE Arrow-batched Python pass, materialized via persist+supersede
     (r06, the _gram_frame pattern): the pure-Catalyst
     slice+zip_with+concat explode measured 3.7-5.2 s ALONE at sf1 and
     was re-evaluated per consumer (bigram counts, first-position
@@ -2908,7 +3034,7 @@ def _bigram_frame(docs: DataFrame, text_col: str) -> DataFrame:
     out = ensure_parallel(docs.select(text_col)).mapInPandas(
         run, schema="w1 string, w2 string"
     )
-    return out.localCheckpoint(eager=True)
+    return _materialize("bigram_frame", out)
 
 
 def bigram_topk(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
@@ -3104,9 +3230,12 @@ def paragraph_dedup(
                 {"doc_id": d_ids, "seg_no": seg_nos, "seg": seg_texts}
             ).astype({"doc_id": "int64", "seg_no": "int32"})
 
-    ex = ensure_parallel(docs.select("doc_id", text_col), "doc_id").mapInPandas(
-        run, schema="doc_id long, seg_no int, seg string"
-    ).localCheckpoint(eager=True)
+    ex = _materialize(
+        "paragraph_segments",
+        ensure_parallel(docs.select("doc_id", text_col), "doc_id").mapInPandas(
+            run, schema="doc_id long, seg_no int, seg string"
+        ),
+    )
     w = Window.partitionBy("seg").orderBy("doc_id", "seg_no")
     ranked = ex.withColumn("rn", F.row_number().over(w))
     kept = F.filter(

@@ -22,7 +22,15 @@ def get_spark(app_name: str = "insideout-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode default: the ONE JVM hosts the driver AND every
+        # executor thread, so size it to the machine, not to a cluster
+        # driver (guide §5). 24g on this 128 GiB box leaves headroom
+        # for 32 concurrent tasks' sort/agg buffers plus per-call
+        # materializations without old-gen GC thrash (measured: with 8g
+        # repeated dedup_components degraded 10 -> 54 s as the heap
+        # filled). On a real cluster spark.executor.memory governs the
+        # workers and this value is irrelevant to data work.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

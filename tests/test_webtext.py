@@ -596,6 +596,31 @@ def test_bmp_roundtrip_padding_and_topdown():
     assert (mm.decode_bmp(payload) == px).all()
 
 
+def test_minhash_driver_pairs_match_distributed(spark, monkeypatch):
+    """The r06 driver-side banded generator (_banded_pairs_numpy) must
+    produce EXACTLY the distributed join path's pair set — clique and
+    chain arms both firing (cap=8 on a 200-doc near-dup cluster) —
+    when the size gate flips between the two implementations."""
+    from insideout_spark.plans import webtext
+
+    rows = _near_dup_cluster_rows(200, 30)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    native = {
+        tuple(r)
+        for r in webtext.minhash_lsh_pairs(
+            docs, threshold=0.35, bucket_cap=8
+        ).collect()
+    }
+    monkeypatch.setattr(webtext, "_SIG_BROADCAST_ROWS", 0)
+    distributed = {
+        tuple(r)
+        for r in webtext.minhash_lsh_pairs(
+            docs, threshold=0.35, bucket_cap=8
+        ).collect()
+    }
+    assert native == distributed and len(native) > 0
+
+
 def test_minhash_saved_signatures_roundtrip(spark, tmp_path):
     """save_signatures -> parquet -> minhash_lsh_pairs(signatures=...)
     must produce exactly the pairs of the direct path (the corpus-scale
