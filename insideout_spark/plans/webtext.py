@@ -1209,6 +1209,18 @@ def _gram_frame(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     return _materialize("gram_frame", out)
 
 
+# corpora at or under this many docs run the INLINE Catalyst gram
+# shape (r5's, oracle-gated for three rounds): at fixture scale the
+# materialized-gram shape's extra jobs (Python gram pass + persist +
+# broadcast builds) are pure fixed overhead — measured 4.8-5.5 s vs
+# 1.4 s for the 5k-doc skewed-block fixture — while at corpus scale
+# the one materialized pass replaces per-consumer re-evaluation of the
+# gram expression (measured 29 -> ~4 s at sf1, 50k docs). Both shapes
+# compute identical grams (same tokenization, first-occurrence
+# distinct, truncated short-doc gram) and identical pair sets.
+_NGRAM_INLINE_DOCS = int(os.environ.get("INSIDEOUT_NGRAM_INLINE_DOCS", "10000"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -1239,6 +1251,8 @@ def ngram_jaccard_pairs(
     back, the clique self-join, and the chain's window add no second
     shuffle key. Exactly mirrored (cap included) by the DuckDB oracle
     in webtext_sql.ngram_pairs_sql."""
+    if docs.count() <= _NGRAM_INLINE_DOCS:
+        return _ngram_pairs_inline(docs, text_col, n, threshold, block_cap)
     # SLIM pair generation (r06, guide §8 "decide with small rows"):
     # blocking, the block-key self-join / chain window, and the
     # size-ratio prefilter all run over (doc_id, block, n_grams) —
@@ -1292,17 +1306,104 @@ def ngram_jaccard_pairs(
     # arithmetic in the DuckDB oracle)
     sa, sb = F.col("na").cast("double"), F.col("nb").cast("double")
     pairs = pairs.filter(F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb))
+    # attach joins are BROADCAST when the materialized gram table is
+    # provably small (the _sig_broadcaster size-estimate gate reads the
+    # cached relation's actual in-memory size): in the skewed-block
+    # fixture nearly every pair survives the size-ratio prefilter, and
+    # shuffling 3.1M surviving pairs twice (by doc_a, then doc_b)
+    # measured 14.5 s vs 3.8 s with map-side broadcast lookups. Above
+    # the gate (corpus-scale gram tables) the shuffle joins are kept —
+    # there the prefilter survivor set is small, not the gram table.
     garr = gf.select("doc_id", "grams")
+    _gb = _sig_broadcaster(garr)
     pairs = pairs.join(
-        garr.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")), "doc_a"
+        _gb(garr.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))),
+        "doc_a",
     ).join(
-        garr.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb")), "doc_b"
+        _gb(garr.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("ga", "gb"))
     # |A ∪ B| = |A| + |B| − |A ∩ B| for the already-distinct gram sets:
     # the same integer array_union produced, without a second per-pair
     # hash-set pass
     union = F.col("na") + F.col("nb") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _ngram_pairs_inline(
+    docs: DataFrame,
+    text_col: str,
+    n: int,
+    threshold: float,
+    block_cap: int | None,
+) -> DataFrame:
+    """Small-corpus arm of ngram_jaccard_pairs: the round-5 inline
+    Catalyst shape, verbatim — gram arrays computed per join side, one
+    block-key shuffle, no materialize/attach jobs. See the dispatch
+    comment at _NGRAM_INLINE_DOCS."""
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    # try_element_at: ANSI element_at THROWS on out-of-bounds, so a
+    # single one-token document would kill the whole job
+    block = F.concat_ws(
+        "|",
+        F.try_element_at(toks, F.lit(1)),
+        F.coalesce(F.try_element_at(toks, F.lit(2)), F.lit("")),
+    )
+    d = docs.select("doc_id", block.alias("block"), grams.alias("grams"))
+    if block_cap is None:
+        a = d.select(F.col("doc_id").alias("doc_a"), "block", F.col("grams").alias("ga"))
+        b = d.select(F.col("doc_id").alias("doc_b"), "block", F.col("grams").alias("gb"))
+        pairs = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
+    else:
+        stats = d.groupBy("block").agg(F.count("*").alias("__bn"))
+        dd = d.join(stats, "block")
+        small = dd.filter(F.col("__bn") <= block_cap)
+        clique = (
+            small.select(F.col("doc_id").alias("doc_a"), "block", F.col("grams").alias("ga"))
+            .join(
+                small.select(F.col("doc_id").alias("doc_b"), "block", F.col("grams").alias("gb")),
+                "block",
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+        )
+        # chain: consecutive members in (|grams|, doc_id) order; each
+        # doc has ONE block so consecutive pairs are distinct, no dedup
+        w = Window.partitionBy("block").orderBy(F.size("grams"), F.col("doc_id"))
+        prev = F.lag(
+            F.struct(F.col("doc_id").alias("id"), F.col("grams").alias("g"))
+        ).over(w)
+        chained = (
+            dd.filter(F.col("__bn") > block_cap)
+            .withColumn("__p", prev)
+            .filter(F.col("__p").isNotNull())
+        )
+        fwd = F.col("__p.id") < F.col("doc_id")
+        chain = chained.select(
+            F.when(fwd, F.col("__p.id")).otherwise(F.col("doc_id")).alias("doc_a"),
+            F.when(fwd, F.col("doc_id")).otherwise(F.col("__p.id")).alias("doc_b"),
+            F.when(fwd, F.col("__p.g")).otherwise(F.col("grams")).alias("ga"),
+            F.when(fwd, F.col("grams")).otherwise(F.col("__p.g")).alias("gb"),
+        )
+        cols = ["doc_a", "doc_b", "ga", "gb"]
+        pairs = clique.select(cols).unionByName(chain.select(cols))
+    # size-ratio prefilter: J(A,B) <= min/max, so Jaccard >= t requires
+    # min(|A|,|B|) >= t * max(|A|,|B|) — prunes most pairs before the
+    # O(|A|+|B|) set intersection (exact integer sizes, identical
+    # arithmetic in the DuckDB oracle)
+    sa, sb = F.size("ga").cast("double"), F.size("gb").cast("double")
+    pairs = pairs.filter(F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
     jac = inter.cast("double") / union.cast("double")
     return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
