@@ -1119,6 +1119,38 @@ def simhash_near_dup_pairs(
     (index.go:71-74, dedup of posting hits); DuckDB oracle:
     webtext_sql.simhash_pairs_sql."""
     sh = _register_sig_cache(simhash64(docs, text_col), auto_release)
+    # driver fast path (r06, the _banded_pairs_numpy pattern): when the
+    # fingerprint table fits the broadcast gate, banding, bucket
+    # grouping, clique/chain emission, cross-band dedup and the exact
+    # Hamming rescore all run vectorized on the driver — SimHash's
+    # ~200k mostly-tiny buckets made the per-bucket mapInPandas loop
+    # SLOWER than the join path (5.5 vs 3.4-4.0 s at sf1, reverted),
+    # but a flat numpy pass over sorted band values has no per-bucket
+    # overhead at all (measured ~1 s). Same pair set: clique a < b at
+    # or under the cap, (fingerprint, id)-ordered consecutive chain
+    # above it (signed int64 order — the window's LongType ORDER BY),
+    # np.unique == the cross-band dropDuplicates, and popcount(xor) is
+    # the same integer bit_count the JVM computes. Above the gate the
+    # join path below is unchanged.
+    n_sh = getattr(sh, "_io_nrows", None)
+    if n_sh is not None and n_sh <= _SIG_BROADCAST_ROWS:
+        spdf = sh.select("doc_id", "simhash").toPandas()
+        spark = sh.sparkSession
+        schema = "doc_a long, doc_b long, hamming int"
+        if len(spdf) == 0:
+            return spark.createDataFrame([], schema)
+        ids = spdf["doc_id"].to_numpy(dtype=np.int64)
+        fps = spdf["simhash"].to_numpy(dtype=np.int64)
+        o = np.argsort(ids)
+        ids, fps = ids[o], fps[o]
+        a, b, ham = _simhash_pairs_numpy(ids, fps, bucket_cap, int(max_hamming))
+        import pandas as pd
+
+        if len(a) == 0:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": ham}), schema=schema
+        )
     band_structs = F.array(
         *[
             F.struct(
@@ -1809,6 +1841,125 @@ def lsh_bucket_ann(
     )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (numpy 1.x has no
+    bitwise_count): 6 full-array bit ops beat a 256-entry byte-table
+    gather 3-4x at the 20M-element scale the SimHash rescore sees."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * h01) >> np.uint64(56)).astype(np.int32)
+
+
+def _row_lookup(ids: np.ndarray, probes: np.ndarray) -> np.ndarray:
+    """Row indices of `probes` in sorted `ids` — a dense position map
+    when the id domain is compact (one O(max_id) table + one gather,
+    ~10x faster than searchsorted at 20M probes), binary search
+    otherwise."""
+    max_id = int(ids[-1])
+    if max_id < max(4 * len(ids), 1 << 20):
+        pos = np.empty(max_id + 1, dtype=np.intp)
+        pos[ids] = np.arange(len(ids), dtype=np.intp)
+        return pos[probes]
+    return np.searchsorted(ids, probes).astype(np.intp)
+
+
+def _clique_chain_pairs(
+    ids: np.ndarray,
+    order: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    cap: int,
+    chain_sort,
+) -> tuple:
+    """Vectorized pair emission for one band's bucket grouping
+    (`order` groups bucket members contiguously; bucket b spans
+    order[starts[b]:ends[b]]). Buckets are processed by SIZE CLASS:
+    all size-m cliques become one (k, m) gather + row-sort + triu
+    fancy-index — a band with 200k tiny buckets costs a handful of
+    numpy calls instead of 200k Python iterations (measured 3-6.7 s
+    -> ~0.3 s for the sf1 SimHash band pass). Capped buckets (rare)
+    emit the (chain_sort-ordered) consecutive chain per bucket."""
+    outs_a: list = []
+    outs_b: list = []
+    sizes = ends - starts
+    multi = np.flatnonzero(sizes > 1)
+    if cap >= 0:
+        big = multi[sizes[multi] > cap]
+        multi = multi[sizes[multi] <= cap]
+    else:
+        big = np.empty(0, dtype=np.int64)
+    if len(multi):
+        ms = sizes[multi]
+        for m in np.unique(ms):
+            sel = multi[ms == m]
+            pos = starts[sel][:, None] + np.arange(int(m))
+            mem = ids[order[pos]]
+            mem.sort(axis=1)
+            iu, ju = np.triu_indices(int(m), 1)
+            outs_a.append(mem[:, iu].ravel())
+            outs_b.append(mem[:, ju].ravel())
+    for bi in big:
+        idxs = order[starts[bi] : ends[bi]]
+        chain = ids[chain_sort(idxs)]
+        outs_a.append(np.minimum(chain[:-1], chain[1:]))
+        outs_b.append(np.maximum(chain[:-1], chain[1:]))
+    return outs_a, outs_b
+
+
+def _simhash_pairs_numpy(
+    ids: np.ndarray, fps: np.ndarray, bucket_cap: int | None, max_hamming: int
+) -> tuple:
+    """Driver-side twin of the SimHash band self-join +
+    `_capped_bucket_pairs` + bit_count rescore (see the call site):
+    returns (doc_a, doc_b, hamming) for the exact post-dedup pair set.
+    ids sorted ascending, fps row-aligned int64 bit patterns."""
+    n = len(ids)
+    cap = -1 if bucket_cap is None else int(bucket_cap)
+    u = fps.view(np.uint64)
+
+    def chain_sort(idxs):
+        # chain order (signed fingerprint, id) — the window's LongType
+        # ORDER BY on (__ord, doc_id)
+        return idxs[np.lexsort((ids[idxs], fps[idxs]))]
+
+    outs_a: list = []
+    outs_b: list = []
+    for band in range(_SIMHASH_BANDS):
+        bv = ((u >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
+        order = np.argsort(bv, kind="stable")
+        sb = bv[order]
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        np.not_equal(sb[1:], sb[:-1], out=boundary[1:])
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], n)
+        oa, ob = _clique_chain_pairs(ids, order, starts, ends, cap, chain_sort)
+        outs_a += oa
+        outs_b += ob
+    if not outs_a:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty, np.empty(0, dtype=np.int32)
+    a = np.concatenate(outs_a)
+    b = np.concatenate(outs_b)
+    if max(int(a.max()), int(b.max())) < (1 << 32) and int(a.min()) >= 0:
+        key = np.unique((a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64))
+        a = (key >> np.uint64(32)).astype(np.int64)
+        b = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    else:  # pragma: no cover - >32-bit ids
+        st = np.unique(np.stack([a, b], axis=1), axis=0)
+        a, b = np.ascontiguousarray(st[:, 0]), np.ascontiguousarray(st[:, 1])
+    ia = _row_lookup(ids, a)
+    ib = _row_lookup(ids, b)
+    ham = _popcount64(u[ia] ^ u[ib])
+    keep = ham <= max_hamming
+    return a[keep], b[keep], ham[keep]
+
+
 def _banded_pairs_numpy(
     ids: np.ndarray,
     smat: np.ndarray,
@@ -1841,7 +1992,16 @@ def _banded_pairs_numpy(
     n, perms = smat.shape
     rpb = perms // _LSH_BANDS
     cap = -1 if bucket_cap is None else int(bucket_cap)
-    ord_strs = None
+    ord_strs: list = []
+
+    def chain_sort(idxs):
+        if not ord_strs:
+            ord_strs.append(["_".join(map(str, row)) for row in smat.tolist()])
+        os_ = ord_strs[0]
+        return np.asarray(
+            sorted(idxs, key=lambda t: (os_[t], ids[t])), dtype=np.int64
+        )
+
     outs_a: list = []
     outs_b: list = []
     for band in range(_LSH_BANDS):
@@ -1853,46 +2013,27 @@ def _banded_pairs_numpy(
         np.any(sb[1:] != sb[:-1], axis=1, out=boundary[1:])
         starts = np.flatnonzero(boundary)
         ends = np.append(starts[1:], n)
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            if 0 <= cap < m:
-                if ord_strs is None:
-                    ord_strs = ["_".join(map(str, row)) for row in smat.tolist()]
-                idxs = sorted(order[s:e], key=lambda t: (ord_strs[t], ids[t]))
-                chain = ids[np.asarray(idxs, dtype=np.int64)]
-                outs_a.append(np.minimum(chain[:-1], chain[1:]))
-                outs_b.append(np.maximum(chain[:-1], chain[1:]))
-            else:
-                ms = np.sort(ids[order[s:e]])
-                iu, ju = np.triu_indices(m, 1)
-                outs_a.append(ms[iu])
-                outs_b.append(ms[ju])
+        oa, ob = _clique_chain_pairs(ids, order, starts, ends, cap, chain_sort)
+        outs_a += oa
+        outs_b += ob
     if not outs_a:
         empty = np.empty(0, dtype=np.int64)
         return empty, empty, np.empty(0, dtype=np.float64)
     a = np.concatenate(outs_a)
     b = np.concatenate(outs_b)
-    # cross-band dedup: pack when both sides fit in 32 bits (always for
-    # this engine's doc ids), lexicographic unique otherwise
-    if max(int(a.max()), int(b.max())) < (1 << 32) and int(a.min()) >= 0:
-        key = np.unique((a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64))
-        a = (key >> np.uint64(32)).astype(np.int64)
-        b = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
-    else:  # pragma: no cover - >32-bit ids
-        st = np.unique(np.stack([a, b], axis=1), axis=0)
-        a, b = np.ascontiguousarray(st[:, 0]), np.ascontiguousarray(st[:, 1])
-    ia = np.searchsorted(ids, a).astype(np.intp)
-    ib = np.searchsorted(ids, b).astype(np.intp)
-    # match-count rescore, tuned for this box's memory-bandwidth wall
-    # (measured 17.5 s -> 2.2 s for 11.7M pairs at sf1): int32 matrix
-    # (minhash values < 2^31 by construction — exact), 256k-pair chunks
-    # so the two gathered operand blocks stay ~32 MB each, and
-    # preallocated out= buffers instead of fresh temporaries per chunk.
-    # est arithmetic unchanged: integer match count, then one division
-    # by the power-of-two perm count — exact in float64, the identical
-    # double of the per-pair matches/32 ratio.
+    ia = _row_lookup(ids, a)
+    ib = _row_lookup(ids, b)
+    # match-count rescore BEFORE the cross-band dedup (a pair-intrinsic
+    # score commutes with dedup: identical pair => identical est =>
+    # identical keep), so the sort-based unique runs over survivors
+    # only. Tuned for this box's memory-bandwidth wall (measured
+    # 17.5 s -> ~2 s at sf1): int32 matrix (minhash values < 2^31 by
+    # construction — exact), 256k-pair chunks so the two gathered
+    # operand blocks stay ~32 MB each, and preallocated out= buffers
+    # instead of fresh temporaries per chunk. est arithmetic unchanged:
+    # integer match count, then one division by the power-of-two perm
+    # count — exact in float64, the identical double of the per-pair
+    # matches/32 ratio.
     cm = smat.astype(np.int32) if int(smat.max()) < (1 << 31) else smat
     est = np.empty(len(a), dtype=np.float64)
     step = 1 << 18
@@ -1908,7 +2049,19 @@ def _banded_pairs_numpy(
         est[s:e] = eq[:m].sum(axis=1)
     est /= float(perms)
     keep = est >= threshold
-    return a[keep], b[keep], est[keep]
+    a, b, est = a[keep], b[keep], est[keep]
+    # cross-band dedup: pack when both sides fit in 32 bits (always for
+    # this engine's doc ids), lexicographic unique otherwise
+    if len(a) == 0:
+        return a, b, est
+    if max(int(a.max()), int(b.max())) < (1 << 32) and int(a.min()) >= 0:
+        _, first = np.unique(
+            (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64),
+            return_index=True,
+        )
+    else:  # pragma: no cover - >32-bit ids
+        _, first = np.unique(np.stack([a, b], axis=1), axis=0, return_index=True)
+    return a[first], b[first], est[first]
 
 
 def _bucket_pairs_arrow(

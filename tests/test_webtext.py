@@ -621,6 +621,30 @@ def test_minhash_driver_pairs_match_distributed(spark, monkeypatch):
     assert native == distributed and len(native) > 0
 
 
+def test_simhash_driver_pairs_match_distributed(spark, monkeypatch):
+    """The r06 driver-side SimHash generator (_simhash_pairs_numpy)
+    must produce EXACTLY the distributed join path's pair set, chain
+    arm included (cap=8 on a near-dup cluster)."""
+    from insideout_spark.plans import webtext
+
+    rows = _near_dup_cluster_rows(200, 30)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    native = {
+        tuple(r)
+        for r in webtext.simhash_near_dup_pairs(
+            docs, max_hamming=10, bucket_cap=8
+        ).collect()
+    }
+    monkeypatch.setattr(webtext, "_SIG_BROADCAST_ROWS", 0)
+    distributed = {
+        tuple(r)
+        for r in webtext.simhash_near_dup_pairs(
+            docs, max_hamming=10, bucket_cap=8
+        ).collect()
+    }
+    assert native == distributed and len(native) > 0
+
+
 def test_minhash_saved_signatures_roundtrip(spark, tmp_path):
     """save_signatures -> parquet -> minhash_lsh_pairs(signatures=...)
     must produce exactly the pairs of the direct path (the corpus-scale
