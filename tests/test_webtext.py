@@ -645,6 +645,34 @@ def test_simhash_driver_pairs_match_distributed(spark, monkeypatch):
     assert native == distributed and len(native) > 0
 
 
+def test_emb_driver_pairs_match_distributed(spark, monkeypatch):
+    """The r06 gated native embedding generator (_bucket_pairs_arrow +
+    broadcast rescore) must produce EXACTLY the corpus-scale join
+    path's pair set, chain arm included (cap=8, threshold -1 keeps the
+    full candidate structure comparable). A fully driver-side variant
+    (_emb_pairs_numpy, the minhash pattern) was tried and REVERTED:
+    the 64-d dot rescore over millions of candidates is memory-bound
+    and parallelizes in workers (2.4-3.7 s) but not on one driver core
+    (8.3 s measured at sf1)."""
+    from insideout_spark.plans import webtext
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    native = {
+        tuple(r)
+        for r in webtext.embedding_near_dup_pairs(
+            embs, threshold=-1.0, bucket_cap=8
+        ).collect()
+    }
+    monkeypatch.setattr(webtext, "_EMB_RESCORE_BROADCAST_BYTES", 0)
+    distributed = {
+        tuple(r)
+        for r in webtext.embedding_near_dup_pairs(
+            embs, threshold=-1.0, bucket_cap=8
+        ).collect()
+    }
+    assert native == distributed and len(native) > 0
+
+
 def test_minhash_saved_signatures_roundtrip(spark, tmp_path):
     """save_signatures -> parquet -> minhash_lsh_pairs(signatures=...)
     must produce exactly the pairs of the direct path (the corpus-scale
