@@ -3302,6 +3302,15 @@ def bigram_topk(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFr
     bigrams/tokens, not occurrences); the top-k is ORDER BY + LIMIT =
     TakeOrderedAndProject; the context join is on the post-limit k
     rows (broadcast). Oracle: webtext_sql.bigram_topk_sql."""
+    # size dispatch (r06, the ngram_jaccard_pairs pattern — shared
+    # gate _NGRAM_INLINE_DOCS): at fixture scale the materialized
+    # explode's extra jobs are pure fixed overhead (measured
+    # bigram 0.72 -> 1.37 s, pmi 0.90 -> 1.69 s at sf0.1), while at
+    # corpus scale one Python explode pass replaces per-consumer
+    # re-evaluation of the slice+zip_with subtree (bigram 4.1 -> 1.8,
+    # pmi 4.5 -> 2.2 at sf1). Identical tokenization and counts.
+    if docs.count() <= _NGRAM_INLINE_DOCS:
+        return _bigram_topk_inline(docs, text_col, k)
     # one materialized (w1, w2) explode feeds BOTH aggregations (r06);
     # the bigram string is rebuilt post-agg — injective since tokens
     # cannot contain spaces — so grouping by (w1, w2) counts and orders
@@ -3399,6 +3408,9 @@ def pmi_topk(
     frame BEFORE the two vocab joins; the total-events N rides along
     as a 1-row broadcast; the top-k is TakeOrderedAndProject.
     Oracle: webtext_sql.pmi_topk_sql."""
+    # size dispatch (r06, see bigram_topk)
+    if docs.count() <= _NGRAM_INLINE_DOCS:
+        return _pmi_topk_inline(docs, text_col, k, min_count)
     # one materialized (w1, w2) explode feeds all three count
     # aggregations AND the totals (r06): firsts == the w1 column,
     # seconds == the w2 column, and n_events == sum over docs of
@@ -3413,6 +3425,115 @@ def pmi_topk(
     c1 = ex.groupBy("w1").agg(F.count("*").alias("n_w1"))
     c2 = ex.groupBy("w2").agg(F.count("*").alias("n_w2"))
     tot = ex.agg(F.count("*").cast("long").alias("n_events"))
+    dec = "decimal(38,0)"
+    return (
+        bg.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_w1").cast("long").alias("n_w1"),
+            F.col("n_w2").cast("long").alias("n_w2"),
+            "n_events",
+            (
+                (F.col("n_ab").cast(dec) * F.col("n_events").cast(dec))
+                .cast("double")
+                / (F.col("n_w1").cast(dec) * F.col("n_w2").cast(dec))
+                .cast("double")
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
+def _bigram_topk_inline(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+    """Small-corpus arm of bigram_topk: the round-5 inline Catalyst
+    shape, verbatim (see the dispatch comment at the call site)."""
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        docs.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_bigram"))
+        .orderBy(F.desc("n_bigram"), F.asc("bigram"))
+        .limit(k)
+    )
+    # context counts: occurrences of w1 as the FIRST element of any
+    # bigram (i.e. token occurrences excluding each doc's last token)
+    ctx = (
+        docs.select(
+            F.explode(
+                F.when(n >= 2, F.slice(toks, 1, n - 1))
+                .otherwise(F.array().cast("array<string>"))
+            ).alias("w1")
+        )
+        .groupBy("w1")
+        .agg(F.count("*").alias("n_context"))
+    )
+    out = bg.withColumn(
+        "w1", F.split(F.col("bigram"), " ", 2).getItem(0)
+    ).join(ctx, "w1")
+    return out.select(
+        "bigram",
+        "n_bigram",
+        "n_context",
+        (F.col("n_bigram").cast("double") / F.col("n_context").cast("double"))
+        .alias("p_cond"),
+    )
+
+
+def _pmi_topk_inline(
+    docs: DataFrame, text_col: str, k: int, min_count: int
+) -> DataFrame:
+    """Small-corpus arm of pmi_topk: the round-5 inline Catalyst shape,
+    verbatim (see the dispatch comment at the call site)."""
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    firsts = F.when(n >= 2, F.slice(toks, 1, n - 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+    seconds = F.when(n >= 2, F.slice(toks, 2, n - 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    c1 = (
+        docs.select(F.explode(firsts).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("n_w1"))
+    )
+    c2 = (
+        docs.select(F.explode(seconds).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count("*").alias("n_w2"))
+    )
+    tot = docs.agg(
+        F.sum(F.greatest(n - 1, F.lit(0)).cast("long")).alias("n_events")
+    )
     dec = "decimal(38,0)"
     return (
         bg.join(c1, "w1")
