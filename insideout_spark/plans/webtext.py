@@ -1251,6 +1251,17 @@ def _gram_frame(docs: DataFrame, text_col: str, n: int) -> DataFrame:
 # compute identical grams (same tokenization, first-occurrence
 # distinct, truncated short-doc gram) and identical pair sets.
 _NGRAM_INLINE_DOCS = int(os.environ.get("INSIDEOUT_NGRAM_INLINE_DOCS", "10000"))
+# ... refined for ngram by TOKEN volume: the inline arm re-evaluates
+# the gram expression (~12us/token on this box) once per consumer, so
+# it loses to the one materialized pass well before the doc-count gate
+# when docs are long (measured at 5000 docs: 270k-token sf0.1 corpus
+# 5.8 s inline vs 2.7 s materialized; 150k-token short-doc skew
+# fixture 2.1 s inline vs 4.8 s materialized — there the pair volume,
+# not the gram cost, dominates). The token pre-count is one cheap
+# Catalyst agg and only runs for corpora already under the doc gate.
+_NGRAM_INLINE_TOKENS = int(
+    os.environ.get("INSIDEOUT_NGRAM_INLINE_TOKENS", "200000")
+)
 
 
 def ngram_jaccard_pairs(
@@ -1284,7 +1295,11 @@ def ngram_jaccard_pairs(
     shuffle key. Exactly mirrored (cap included) by the DuckDB oracle
     in webtext_sql.ngram_pairs_sql."""
     if docs.count() <= _NGRAM_INLINE_DOCS:
-        return _ngram_pairs_inline(docs, text_col, n, threshold, block_cap)
+        n_tokens = docs.select(
+            F.sum(F.size(F.split(F.trim(F.col(text_col)), " +")))
+        ).first()[0]
+        if (n_tokens or 0) <= _NGRAM_INLINE_TOKENS:
+            return _ngram_pairs_inline(docs, text_col, n, threshold, block_cap)
     # SLIM pair generation (r06, guide §8 "decide with small rows"):
     # blocking, the block-key self-join / chain window, and the
     # size-ratio prefilter all run over (doc_id, block, n_grams) —
