@@ -450,6 +450,14 @@ def _register_sig_cache(df: DataFrame, auto_release: bool) -> DataFrame:
 # otherwise (exact for parquet-backed signature tables). Above the
 # caps — corpus-scale signature tables — the shuffle join is kept.
 _SIG_BROADCAST_ROWS = int(os.environ.get("INSIDEOUT_SIG_BROADCAST_ROWS", "2000000"))
+# MinHash driver-side pair GENERATION has a tighter row gate than the
+# broadcast-attach joins: its capped-bucket chains sort by the 32-value
+# signature STRING (the oracle-pinned order), which is Python-object
+# work per capped bucket — measured faster than the distributed path at
+# 50k docs (3.5 vs 7.6 s) but slower at 500k (39 vs 16 s, cap=32).
+# SimHash keeps the wide gate: its chains lexsort int64 fingerprints
+# (measured 10.6 s driver vs 77 s distributed at 500k docs).
+_SIG_DRIVER_ROWS = int(os.environ.get("INSIDEOUT_SIG_DRIVER_ROWS", "150000"))
 _SIG_BROADCAST_BYTES = int(
     os.environ.get("INSIDEOUT_SIG_BROADCAST_BYTES", str(256 << 20))
 )
@@ -678,8 +686,12 @@ def minhash_lsh_pairs(
     # same int/int double division, the chain order key is the same
     # 32-value signature string compared byte-wise, and the clique/
     # chain pair sets are replicated exactly — identical pairs,
-    # identical est_jaccard (oracle-verified). Above the gate the
-    # distributed join path below is unchanged.
+    # identical est_jaccard (oracle-verified). Above the row gate, or
+    # when the capped candidate count exceeds _DRIVER_PAIRS_CAP (a
+    # replicated corpus explodes cliques quadratically — measured
+    # 368 s driver-side at a derived sf10 vs the executor-parallel
+    # join path), the distributed path below runs instead — identical
+    # pair set either way.
     n_sigs = getattr(sigs, "_io_nrows", None)
     if n_sigs is None and signatures is not None:
         # persisted signature tables (the save_signatures contract):
@@ -689,7 +701,7 @@ def minhash_lsh_pairs(
             sigs._io_nrows = n_sigs
         except AttributeError:  # pragma: no cover - exotic DataFrame proxy
             pass
-    if n_sigs is not None and n_sigs <= _SIG_BROADCAST_ROWS:
+    if n_sigs is not None and n_sigs <= _SIG_DRIVER_ROWS:
         spdf = sigs.select("doc_id", "sig").toPandas()
         ids = spdf["doc_id"].to_numpy(dtype=np.int64)
         spark = sigs.sparkSession
@@ -699,21 +711,24 @@ def minhash_lsh_pairs(
         smat = np.array(spdf["sig"].tolist(), dtype=np.int64)
         o = np.argsort(ids)
         ids, smat = ids[o], smat[o]
-        a, b, est = _banded_pairs_numpy(ids, smat, bucket_cap, float(threshold))
-        import pandas as pd
+        res = _banded_pairs_numpy(ids, smat, bucket_cap, float(threshold))
+        if res is not None:
+            a, b, est = res
+            import pandas as pd
 
-        if len(a) == 0:
-            return spark.createDataFrame([], schema)
-        out = spark.createDataFrame(
-            pd.DataFrame({"doc_a": a, "doc_b": b, "est_jaccard": est}),
-            schema=schema,
-        )
-        # pass-through hint for connected_components: the pair arrays
-        # are already on the driver, so a CC consumer can skip the
-        # persist + collect round-trip (identical content by
-        # construction — the DataFrame was built FROM these arrays)
-        out._io_pairs_np = (a, b)
-        return out
+            if len(a) == 0:
+                return spark.createDataFrame([], schema)
+            out = spark.createDataFrame(
+                pd.DataFrame({"doc_a": a, "doc_b": b, "est_jaccard": est}),
+                schema=schema,
+            )
+            # pass-through hint for connected_components: the pair
+            # arrays are already on the driver, so a CC consumer can
+            # skip the persist + collect round-trip (identical content
+            # by construction — the DataFrame was built FROM these
+            # arrays)
+            out._io_pairs_np = (a, b)
+            return out
     bands = _sig_bands(sigs)
     # pair shuffle carries ONLY (doc_a, doc_b): dedup the banded pairs
     # first, then re-attach one signature per side (VERDICT r01 minor
@@ -1143,14 +1158,17 @@ def simhash_near_dup_pairs(
         fps = spdf["simhash"].to_numpy(dtype=np.int64)
         o = np.argsort(ids)
         ids, fps = ids[o], fps[o]
-        a, b, ham = _simhash_pairs_numpy(ids, fps, bucket_cap, int(max_hamming))
-        import pandas as pd
+        res = _simhash_pairs_numpy(ids, fps, bucket_cap, int(max_hamming))
+        if res is not None:  # else: over _DRIVER_PAIRS_CAP, join path
+            a, b, ham = res
+            import pandas as pd
 
-        if len(a) == 0:
-            return spark.createDataFrame([], schema)
-        return spark.createDataFrame(
-            pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": ham}), schema=schema
-        )
+            if len(a) == 0:
+                return spark.createDataFrame([], schema)
+            return spark.createDataFrame(
+                pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": ham}),
+                schema=schema,
+            )
     band_structs = F.array(
         *[
             F.struct(
@@ -1883,6 +1901,40 @@ def _row_lookup(ids: np.ndarray, probes: np.ndarray) -> np.ndarray:
     return np.searchsorted(ids, probes).astype(np.intp)
 
 
+# driver-side pair generation is additionally bounded by the CANDIDATE
+# count (the row gate alone does not bound it: a 10x-replicated corpus
+# multiplies every near-dup cluster's clique quadratically — measured
+# 368 s at a derived sf10 where sf1 takes ~5 s). Over this budget the
+# operator falls back to its distributed generation path — identical
+# pair set, executor-parallel work.
+_DRIVER_PAIRS_CAP = int(os.environ.get("INSIDEOUT_DRIVER_PAIRS_CAP", "40000000"))
+
+
+def _grouped_sizes(order_key: np.ndarray) -> tuple:
+    """(order, starts, ends) grouping equal values of a 1-D key."""
+    n = len(order_key)
+    order = np.argsort(order_key, kind="stable")
+    sk = order_key[order]
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    np.not_equal(sk[1:], sk[:-1], out=boundary[1:])
+    starts = np.flatnonzero(boundary)
+    return order, starts, np.append(starts[1:], n)
+
+
+def _capped_pair_count(sizes: np.ndarray, cap: int) -> int:
+    """Total pairs the clique/chain emission would produce for these
+    bucket sizes: m(m-1)/2 at or under the cap, m-1 above it."""
+    m = sizes[sizes > 1].astype(np.int64)
+    if cap >= 0:
+        big = m[m > cap]
+        m = m[m <= cap]
+        chain = int((big - 1).sum())
+    else:
+        chain = 0
+    return int((m * (m - 1) // 2).sum()) + chain
+
+
 def _clique_chain_pairs(
     ids: np.ndarray,
     order: np.ndarray,
@@ -1931,7 +1983,8 @@ def _simhash_pairs_numpy(
 ) -> tuple:
     """Driver-side twin of the SimHash band self-join +
     `_capped_bucket_pairs` + bit_count rescore (see the call site):
-    returns (doc_a, doc_b, hamming) for the exact post-dedup pair set.
+    returns (doc_a, doc_b, hamming) for the exact post-dedup pair set,
+    or None when the capped candidate count exceeds _DRIVER_PAIRS_CAP.
     ids sorted ascending, fps row-aligned int64 bit patterns."""
     n = len(ids)
     cap = -1 if bucket_cap is None else int(bucket_cap)
@@ -1942,17 +1995,18 @@ def _simhash_pairs_numpy(
         # ORDER BY on (__ord, doc_id)
         return idxs[np.lexsort((ids[idxs], fps[idxs]))]
 
-    outs_a: list = []
-    outs_b: list = []
+    groups: list = []
+    total = 0
     for band in range(_SIMHASH_BANDS):
         bv = ((u >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
-        order = np.argsort(bv, kind="stable")
-        sb = bv[order]
-        boundary = np.empty(n, dtype=bool)
-        boundary[0] = True
-        np.not_equal(sb[1:], sb[:-1], out=boundary[1:])
-        starts = np.flatnonzero(boundary)
-        ends = np.append(starts[1:], n)
+        order, starts, ends = _grouped_sizes(bv)
+        groups.append((order, starts, ends))
+        total += _capped_pair_count(ends - starts, cap)
+    if total > _DRIVER_PAIRS_CAP:
+        return None  # caller falls back to the distributed path
+    outs_a: list = []
+    outs_b: list = []
+    for order, starts, ends in groups:
         oa, ob = _clique_chain_pairs(ids, order, starts, ends, cap, chain_sort)
         outs_a += oa
         outs_b += ob
@@ -1984,7 +2038,9 @@ def _banded_pairs_numpy(
     """Driver-side twin of `_sig_bands` + `_bucket_pairs_arrow` +
     est-rescore for a signature matrix that fits in memory (the
     broadcast-gate bound): returns (doc_a, doc_b, est_jaccard) arrays —
-    the EXACT post-dedup pair set of the distributed path.
+    the EXACT post-dedup pair set of the distributed path — or None
+    when the capped candidate count exceeds _DRIVER_PAIRS_CAP (the
+    caller then uses its distributed path).
 
     Replication contract, piece by piece:
     - bucket key: `_sig_bands` stringifies each band's value tuple,
@@ -2017,8 +2073,8 @@ def _banded_pairs_numpy(
             sorted(idxs, key=lambda t: (os_[t], ids[t])), dtype=np.int64
         )
 
-    outs_a: list = []
-    outs_b: list = []
+    groups: list = []
+    total = 0
     for band in range(_LSH_BANDS):
         bv = smat[:, band * rpb : (band + 1) * rpb]
         order = np.lexsort(bv.T[::-1])
@@ -2028,6 +2084,13 @@ def _banded_pairs_numpy(
         np.any(sb[1:] != sb[:-1], axis=1, out=boundary[1:])
         starts = np.flatnonzero(boundary)
         ends = np.append(starts[1:], n)
+        groups.append((order, starts, ends))
+        total += _capped_pair_count(ends - starts, cap)
+    if total > _DRIVER_PAIRS_CAP:
+        return None  # caller falls back to the distributed path
+    outs_a: list = []
+    outs_b: list = []
+    for order, starts, ends in groups:
         oa, ob = _clique_chain_pairs(ids, order, starts, ends, cap, chain_sort)
         outs_a += oa
         outs_b += ob

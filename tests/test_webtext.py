@@ -621,6 +621,26 @@ def test_minhash_driver_pairs_match_distributed(spark, monkeypatch):
     assert native == distributed and len(native) > 0
 
 
+def test_driver_pairs_budget_falls_back(spark, monkeypatch):
+    """A zero candidate budget must route minhash AND simhash through
+    their distributed paths with identical results — the scale guard
+    for replicated corpora whose cliques explode quadratically (the
+    row gate alone measured 368 s driver-side at a derived sf10)."""
+    from insideout_spark.plans import webtext
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    mh = {tuple(r) for r in webtext.minhash_lsh_pairs(docs, threshold=0.35).collect()}
+    sh = {tuple(r) for r in webtext.simhash_near_dup_pairs(docs).collect()}
+    monkeypatch.setattr(webtext, "_DRIVER_PAIRS_CAP", 0)
+    assert {
+        tuple(r) for r in webtext.minhash_lsh_pairs(docs, threshold=0.35).collect()
+    } == mh
+    assert {
+        tuple(r) for r in webtext.simhash_near_dup_pairs(docs).collect()
+    } == sh
+    assert len(mh) > 0
+
+
 def test_simhash_driver_pairs_match_distributed(spark, monkeypatch):
     """The r06 driver-side SimHash generator (_simhash_pairs_numpy)
     must produce EXACTLY the distributed join path's pair set, chain
